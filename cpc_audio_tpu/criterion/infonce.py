@@ -1,0 +1,148 @@
+"""InfoNCE (CPC) criterion.
+
+Reference: CPCUnsupersivedCriterion [sic]
+(/root/reference/cpc/criterion/criterion.py:139-257) and its within-batch
+negative sampler ``sampleClean`` (criterion.py:174-219).
+
+TPU-first design decisions:
+  * Negatives are drawn once per batch with the reference's exact modular
+    offset scheme (time index = (w + U[1,S)) mod S, so a negative never sits
+    at the anchor's own frame offset) and gathered as ONE (B, N, W, C)
+    tensor shared by every prediction step — one gather instead of K.
+  * Scoring is two einsum contractions, 'kbwc,kbwc->kbw' (positives) and
+    'kbwc,bnwc->kbnw' (negatives), which XLA maps to MXU batched matmuls;
+    the reference's per-step python loop and (B,1+N,W,C) concat never
+    materialize.  Scores are means over C (criterion.py:116), preserving the
+    reference's softmax temperature.
+  * Randomness comes from the linen 'sampling' RNG collection, so under
+    shard_map each device folds its own key — reproducing the reference's
+    per-GPU-shard sampling semantics (train.py:372-375).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .prediction import PredictionNetwork
+
+
+class BaseCriterion(nn.Module):
+    """Interface parity (criterion.py:121-127)."""
+
+    def warm_up(self) -> bool:
+        return False
+
+
+class NoneCriterion(BaseCriterion):
+    """Zero loss for the 'none' CPC mode (criterion.py:130-136)."""
+
+    @nn.compact
+    def __call__(self, c_feature, encoded_data, label, train: bool = False):
+        z = jnp.zeros((1,), jnp.float32)
+        return z, z
+
+
+def sample_negatives(key: jax.Array, encoded_data: jax.Array,
+                     window_size: int, n_negative: int) -> jax.Array:
+    """Within-batch negative sampling (criterion.py:174-201).
+
+    encoded_data: (B, S, C).  Returns (B, N, W, C) negatives where
+    neg[b, n, w] = z[b', (w + u) % S] with b' ~ U[0,B), u ~ U[1,S).
+    """
+    B, S, C = encoded_data.shape
+    k1, k2 = jax.random.split(key)
+    batch_idx = jax.random.randint(k1, (B, n_negative, window_size), 0, B)
+    seq_off = jax.random.randint(k2, (B, n_negative, window_size), 1, S)
+    base = jnp.arange(window_size)[None, None, :]
+    seq_idx = (seq_off + base) % S
+    flat_idx = (batch_idx * S + seq_idx).reshape(-1)
+    neg = jnp.take(encoded_data.reshape(B * S, C), flat_idx, axis=0)
+    return neg.reshape(B, n_negative, window_size, C)
+
+
+def stack_positives(encoded_data: jax.Array, n_predicts: int,
+                    window_size: int) -> jax.Array:
+    """pos[k] = z[:, k+1 : k+1+W]  (criterion.py:207-215) -> (K, B, W, C)."""
+    idx = (jnp.arange(n_predicts)[:, None] + 1
+           + jnp.arange(window_size)[None, :])           # (K, W)
+    pos = jnp.take(encoded_data, idx.reshape(-1), axis=1)
+    K = n_predicts
+    B, _, C = encoded_data.shape
+    return pos.reshape(B, K, window_size, C).transpose(1, 0, 2, 3)
+
+
+class CPCUnsupervisedCriterion(BaseCriterion):
+    """K-step InfoNCE with within-batch negatives (criterion.py:139-257).
+
+    ``__call__(c, z, label) -> (losses (K,), accuracies (K,))`` —
+    per-step mean CE with the positive as class 0, and argmax accuracy.
+    Requires the 'sampling' RNG (and 'dropout' when train with dropout).
+    """
+
+    n_predicts: int
+    dim_output_ar: int
+    dim_output_encoder: int
+    negative_sampling_ext: int
+    mode: Optional[str] = None            # None | 'reverse'
+    rnn_mode: Optional[str] = "transformer"
+    dropout: bool = False
+    speaker_embedding: int = 0
+    n_speakers: int = 0
+    size_input_seq: int = 128
+
+    def setup(self):
+        if self.mode not in (None, "reverse"):
+            raise ValueError("Invalid mode")
+        dim_ar = self.dim_output_ar + self.speaker_embedding
+        if self.speaker_embedding > 0:
+            self.speaker_emb = nn.Embed(self.n_speakers,
+                                        self.speaker_embedding,
+                                        name="speakerEmb")
+        self.w_prediction = PredictionNetwork(
+            self.n_predicts, self.dim_output_encoder, self.rnn_mode,
+            self.dropout, size_input_seq=self.size_input_seq - self.n_predicts,
+            name="wPrediction")
+
+    def __call__(self, c_feature: jax.Array, encoded_data: jax.Array,
+                 label: Optional[jax.Array] = None,
+                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        if self.mode == "reverse":
+            encoded_data = jnp.flip(encoded_data, axis=1)
+            c_feature = jnp.flip(c_feature, axis=1)
+
+        B, S, _ = c_feature.shape
+        K = self.n_predicts
+        W = S - K
+        c = c_feature[:, :W]
+
+        key = self.make_rng("sampling")
+        neg = sample_negatives(key, encoded_data, W,
+                               self.negative_sampling_ext)  # (B,N,W,C)
+        pos = stack_positives(encoded_data, K, W)            # (K,B,W,C)
+
+        if self.speaker_embedding > 0:
+            emb = self.speaker_emb(label)                     # (B, E)
+            emb = jnp.broadcast_to(emb[:, None, :], (B, W, emb.shape[-1]))
+            c = jnp.concatenate([c, emb.astype(c.dtype)], axis=2)
+
+        preds = self.w_prediction(c, train=train)             # (K,B,W,C')
+
+        C = self.dim_output_encoder
+        f32 = jnp.float32
+        # score = mean over channels of pred*candidate (criterion.py:116)
+        pos_score = jnp.einsum("kbwc,kbwc->kbw", preds.astype(f32),
+                               pos.astype(f32)) / C
+        neg_score = jnp.einsum("kbwc,bnwc->kbnw", preds.astype(f32),
+                               neg.astype(f32)) / C
+
+        logits = jnp.concatenate([pos_score[:, :, None, :], neg_score],
+                                 axis=2)                       # (K,B,1+N,W)
+        log_probs = jax.nn.log_softmax(logits, axis=2)
+        losses = -jnp.mean(log_probs[:, :, 0, :], axis=(1, 2))  # (K,)
+        acc = jnp.mean((jnp.argmax(logits, axis=2) == 0).astype(f32),
+                       axis=(1, 2))                              # (K,)
+        return losses, acc

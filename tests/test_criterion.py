@@ -1,0 +1,228 @@
+"""Criterion tests: negative sampling semantics, InfoNCE goldens,
+supervised probes, label collapsing, beam search, PER goldens.
+
+Golden values for beam search / PER ported from the reference's hand-computed
+cases (cpc/unit_tests.py:208-276).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpc_audio_tpu.criterion import (CPCUnsupervisedCriterion,
+                                     CTCPhoneCriterion, NoneCriterion,
+                                     PhoneCriterion, SpeakerCriterion,
+                                     beam_search_py, collapse_label_chain,
+                                     collapse_label_chain_padded,
+                                     get_seq_per, sample_negatives,
+                                     stack_positives)
+
+
+def test_sample_negatives_semantics(rng):
+    """Negatives never sit at the anchor's own frame offset and index into
+    real batch rows (criterion.py:186-197)."""
+    B, S, C, N, W = 4, 16, 8, 32, 10
+    z = jax.random.normal(rng, (B, S, C))
+    neg = sample_negatives(jax.random.PRNGKey(7), z, W, N)
+    assert neg.shape == (B, N, W, C)
+    zf = np.asarray(z).reshape(B * S, C)
+    negn = np.asarray(neg)
+    # every negative is an actual encoder frame
+    for b in range(B):
+        for n in range(0, N, 7):
+            for w in range(0, W, 3):
+                d = np.abs(zf - negn[b, n, w]).sum(1)
+                hits = np.where(d < 1e-6)[0]
+                assert len(hits) >= 1
+                # never the anchor offset w of any row? The scheme only
+                # guarantees time != w (mod S) for the sampled row.
+                assert all(h % S != w for h in hits)
+
+
+def test_stack_positives(rng):
+    B, S, C, K, W = 2, 12, 4, 3, 9
+    z = jax.random.normal(rng, (B, S, C))
+    pos = stack_positives(z, K, W)
+    assert pos.shape == (K, B, W, C)
+    for k in range(K):
+        np.testing.assert_array_equal(np.asarray(pos[k]),
+                                      np.asarray(z[:, k + 1:k + 1 + W]))
+
+
+def _make_criterion(K=3, dim=8, N=8, S=16, rnn_mode="linear", **kw):
+    crit = CPCUnsupervisedCriterion(
+        n_predicts=K, dim_output_ar=dim, dim_output_encoder=dim,
+        negative_sampling_ext=N, rnn_mode=rnn_mode, size_input_seq=S, **kw)
+    return crit
+
+
+def test_infonce_forward_shapes(rng):
+    B, S, dim = 4, 16, 8
+    crit = _make_criterion()
+    c = jax.random.normal(rng, (B, S, dim))
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, S, dim))
+    variables = crit.init({"params": rng, "sampling": jax.random.PRNGKey(2)},
+                          c, z, None)
+    losses, acc = crit.apply(variables, c, z, None,
+                             rngs={"sampling": jax.random.PRNGKey(3)})
+    assert losses.shape == (3,) and acc.shape == (3,)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert (np.asarray(acc) >= 0).all() and (np.asarray(acc) <= 1).all()
+
+
+def test_infonce_perfect_predictor_low_loss(rng):
+    """If context 'predicts' the future encoding exactly (identity head on
+    c == scaled future z), loss must be far below chance and accuracy
+    near 1."""
+    B, S, dim, K, N = 8, 20, 16, 1, 16
+    z = jax.random.normal(rng, (B, S, dim)) * 10.0
+    W = S - K
+    # craft context = future encoding (k=1) so a head approximating identity
+    # wins; use linear head initialized to identity via param surgery
+    c = jnp.concatenate([z[:, 1:], jnp.zeros((B, K, dim))], axis=1)
+    crit = _make_criterion(K=K, dim=dim, N=N, S=S, rnn_mode="linear")
+    variables = crit.init({"params": rng, "sampling": jax.random.PRNGKey(0)},
+                          c, z, None)
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    w = params["wPrediction"]["heads"]["weight"]
+    eye = jnp.broadcast_to(jnp.eye(dim)[None], w.shape)
+    params["wPrediction"]["heads"]["weight"] = eye
+    losses, acc = crit.apply({"params": params}, c, z, None,
+                             rngs={"sampling": jax.random.PRNGKey(5)})
+    chance = np.log(N + 1)
+    assert float(losses[0]) < 0.1 * chance
+    assert float(acc[0]) > 0.95
+
+
+def test_infonce_transformer_head(rng):
+    B, S, dim = 2, 16, 8
+    crit = _make_criterion(rnn_mode="transformer")
+    c = jax.random.normal(rng, (B, S, dim))
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, S, dim))
+    variables = crit.init({"params": rng, "sampling": jax.random.PRNGKey(2)},
+                          c, z, None)
+    losses, acc = crit.apply(variables, c, z, None,
+                             rngs={"sampling": jax.random.PRNGKey(3)})
+    assert losses.shape == (3,)
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+@pytest.mark.parametrize("head", ["ffd", "conv4", "conv8", "LSTM", "RNN"])
+def test_infonce_other_heads(rng, head):
+    B, S, dim = 2, 16, 8
+    crit = _make_criterion(rnn_mode=head)
+    c = jax.random.normal(rng, (B, S, dim))
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, S, dim))
+    variables = crit.init({"params": rng, "sampling": jax.random.PRNGKey(2)},
+                          c, z, None)
+    losses, _ = crit.apply(variables, c, z, None,
+                           rngs={"sampling": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_infonce_reverse_mode(rng):
+    B, S, dim = 2, 16, 8
+    crit = _make_criterion(mode="reverse")
+    c = jax.random.normal(rng, (B, S, dim))
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, S, dim))
+    variables = crit.init({"params": rng, "sampling": jax.random.PRNGKey(2)},
+                          c, z, None)
+    losses, _ = crit.apply(variables, c, z, None,
+                           rngs={"sampling": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_infonce_speaker_embedding(rng):
+    B, S, dim = 2, 16, 8
+    crit = _make_criterion(speaker_embedding=4, n_speakers=5)
+    c = jax.random.normal(rng, (B, S, dim))
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, S, dim))
+    label = jnp.array([0, 3])
+    variables = crit.init({"params": rng, "sampling": jax.random.PRNGKey(2)},
+                          c, z, label)
+    losses, _ = crit.apply(variables, c, z, label,
+                           rngs={"sampling": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_none_criterion(rng):
+    crit = NoneCriterion()
+    c = jnp.zeros((2, 4, 8))
+    variables = crit.init(rng, c, c, None)
+    loss, acc = crit.apply(variables, c, c, None)
+    assert float(loss[0]) == 0.0
+
+
+def test_speaker_criterion(rng):
+    crit = SpeakerCriterion(dim_encoder=8, n_speakers=4)
+    c = jax.random.normal(rng, (6, 10, 8))
+    label = jnp.array([0, 1, 2, 3, 0, 1])
+    variables = crit.init(rng, c, None, label)
+    loss, acc = crit.apply(variables, c, None, label)
+    assert loss.shape == (1,) and acc.shape == (1,)
+
+
+def test_phone_criterion(rng):
+    crit = PhoneCriterion(dim_encoder=8, n_phones=5)
+    c = jax.random.normal(rng, (2, 10, 8))
+    label = jnp.zeros((2, 10), jnp.int32)
+    variables = crit.init(rng, c, None, label)
+    loss, acc = crit.apply(variables, c, None, label)
+    assert np.isfinite(float(loss[0]))
+
+
+def test_ctc_criterion(rng):
+    crit = CTCPhoneCriterion(dim_encoder=8, n_phones=5)
+    c = jax.random.normal(rng, (2, 10, 8))
+    label = jnp.array([[0, 0, 1, 1, 2, 2, 3, 3, 4, 4],
+                       [1, 1, 1, 1, 2, 2, 2, 2, 2, 2]], jnp.int32)
+    variables = crit.init(rng, c, None, label)
+    loss, _ = crit.apply(variables, c, None, label)
+    assert np.isfinite(float(loss[0])) and float(loss[0]) > 0
+
+
+# ---------------------------------------------------------------------------
+# seq_alignment goldens (ported from reference unit_tests.py:208-276)
+# ---------------------------------------------------------------------------
+
+def test_collapse_label_chain():
+    labels = np.array([[0, 0, 1, 1, 2, 2, 3], [1, 1, 1, 1, 1, 2, 2]])
+    out, sizes = collapse_label_chain(labels)
+    np.testing.assert_array_equal(sizes, [4, 2])
+    np.testing.assert_array_equal(out[0, :4], [0, 1, 2, 3])
+    np.testing.assert_array_equal(out[1, :2], [1, 2])
+
+
+def test_collapse_label_chain_padded_matches_numpy(rng):
+    labels = jax.random.randint(rng, (5, 20), 0, 3)
+    targets, paddings = collapse_label_chain_padded(labels)
+    ref_out, ref_sizes = collapse_label_chain(np.asarray(labels))
+    sizes = (1 - np.asarray(paddings)).sum(1).astype(int)
+    np.testing.assert_array_equal(sizes, ref_sizes)
+    for i in range(5):
+        np.testing.assert_array_equal(np.asarray(targets)[i, :sizes[i]],
+                                      ref_out[i, :sizes[i]])
+
+
+def test_beam_search_small():
+    """Reference golden (unit_tests.py:218-235): T=2, P=3, blank=2."""
+    preds = np.array([[0.1, 0.2, 0.7],
+                      [0.4, 0.2, 0.4]], np.float32)
+    out = beam_search_py(preds, 10, 2)
+    scores = {tuple(seq): s for s, seq in out}
+    # P("") = 0.7*0.4 + blank paths; hand-check a few probabilities
+    assert abs(scores[()] - (0.7 * 0.4)) < 1e-6
+    # P([0]) = p(0 at t0)*p(blank or 0 at t1) + p(blank t0)*p(0 t1)
+    p0 = 0.1 * (0.4 + 0.4) + 0.7 * 0.4
+    assert abs(scores[(0,)] - p0) < 1e-6
+    # best beam is the argmax over all
+    best = max(scores.items(), key=lambda kv: kv[1])[0]
+    assert best == tuple(out[0][1])
+
+
+def test_per_golden():
+    """get_seq_PER golden = 4/7 (reference unit_tests.py:269-276)."""
+    ref_seq = [0, 1, 1, 2, 0, 2, 2]
+    pred_seq = [1, 1, 2, 2, 0, 0]
+    assert abs(get_seq_per(ref_seq, pred_seq) - 4.0 / 7) < 1e-8
