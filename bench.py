@@ -1,0 +1,84 @@
+"""Throughput benchmark: CPC pretraining windows/sec/chip.
+
+Runs the full default-config training step (256-dim conv encoder, LSTM AR,
+12 vmapped transformer prediction heads, 128 negatives, 20480-sample
+windows — reference cpc_default_config.py defaults) on synthetic data and
+reports steady-state windows/sec/chip.
+
+``vs_baseline`` compares against A100_REF_WINDOWS_PER_SEC, an estimate of
+the torch reference's single-A100 throughput (the reference publishes no
+numbers — BASELINE.md): ~8.6 GFLOP fwd/window with eager torch, sequential
+per-head loops and cuDNN LSTM ≈ 700 windows/s.  BASELINE.json's north star
+is >= 3x this.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_REF_WINDOWS_PER_SEC = 700.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from cpc_audio_tpu.config import CPCConfig
+    from cpc_audio_tpu.criterion import CPCUnsupervisedCriterion
+    from cpc_audio_tpu.models import build_model
+    from cpc_audio_tpu.parallel import (create_train_state, get_mesh,
+                                        make_optimizer, make_train_step,
+                                        shard_batch)
+
+    n_devices = len(jax.devices())
+    per_chip_batch = 32
+    batch_size = per_chip_batch * n_devices
+
+    config = CPCConfig(compute_dtype="bfloat16")
+    model = build_model(config)
+    criterion = CPCUnsupervisedCriterion(
+        n_predicts=config.nPredicts, dim_output_ar=config.hiddenGar,
+        dim_output_encoder=config.hiddenEncoder,
+        negative_sampling_ext=config.negativeSamplingExt,
+        rnn_mode=config.rnnMode,
+        size_input_seq=config.sizeWindow // 160)
+    optimizer = make_optimizer(config.beta1, config.beta2, config.epsilon)
+    mesh = get_mesh(n_devices)
+    state = create_train_state(jax.random.PRNGKey(0), model, criterion,
+                               optimizer, (2, 1, config.sizeWindow))
+    train_step = make_train_step(model, criterion, optimizer, mesh)
+
+    rng = np.random.RandomState(0)
+    batch = shard_batch(
+        mesh, rng.randn(batch_size, 1, config.sizeWindow).astype(np.float32))
+    labels = shard_batch(mesh, np.zeros(batch_size, np.int64))
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, _, metrics = train_step(state, batch, labels, None, sub, 2e-4)
+    jax.block_until_ready(metrics["losses"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        state, _, metrics = train_step(state, batch, labels, None, sub, 2e-4)
+    jax.block_until_ready(metrics["losses"])
+    elapsed = time.perf_counter() - t0
+
+    windows_per_sec = n_steps * batch_size / elapsed
+    per_chip = windows_per_sec / n_devices
+    print(json.dumps({
+        "metric": "cpc_pretrain_windows_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "windows/sec/chip",
+        "vs_baseline": round(per_chip / A100_REF_WINDOWS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

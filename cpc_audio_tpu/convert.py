@@ -1,0 +1,230 @@
+"""Reference (torch) checkpoint -> JAX parameter-tree conversion.
+
+Lets parity evaluations load weights trained by the reference
+implementation (state-dict layout from /root/reference/cpc/model.py and
+criterion/criterion.py; checkpoint keys per feature_loader.py:201-209).
+
+All layouts were chosen at module-definition time to make this mapping
+mechanical: Dense/recurrent weights keep torch layout, conv kernels
+transpose (out,in,W) -> (W,in,out).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from .config import CPCConfig
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _strip_prefix(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+    return out
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_norm(sd, i: int, norm_mode: str, params: dict,
+                  batch_stats: dict) -> None:
+    w = sd.get(f"batchNorm{i}.weight")
+    b = sd.get(f"batchNorm{i}.bias")
+    if norm_mode == "batchNorm":
+        if w is not None:
+            _set(params, (f"norm{i}", "scale"), _np(w).reshape(-1))
+            _set(params, (f"norm{i}", "bias"), _np(b).reshape(-1))
+        rm = sd.get(f"batchNorm{i}.running_mean")
+        rv = sd.get(f"batchNorm{i}.running_var")
+        if rm is not None:
+            _set(batch_stats, (f"norm{i}", "mean"), _np(rm).reshape(-1))
+            _set(batch_stats, (f"norm{i}", "var"), _np(rv).reshape(-1))
+    elif norm_mode in ("layerNorm", "instanceNorm"):
+        if w is not None:
+            _set(params, (f"norm{i}", "weight"), _np(w).reshape(-1))
+            _set(params, (f"norm{i}", "bias"), _np(b).reshape(-1))
+
+
+def convert_encoder(sd: Dict[str, Any], config: CPCConfig
+                    ) -> Tuple[dict, dict]:
+    """gEncoder.* torch keys -> (params, batch_stats) for CPCEncoder."""
+    params: dict = {}
+    batch_stats: dict = {}
+    if config.encoder_type == "lfb":
+        _set(params, ("conv", "kernel"),
+             _np(sd["conv.weight"]).transpose(2, 1, 0))
+        _set(params, ("conv", "bias"), _np(sd["conv.bias"]))
+        return params, batch_stats
+    for i in range(5):
+        wk = f"conv{i}.weight"
+        if wk not in sd:
+            continue
+        _set(params, (f"conv{i}", "kernel"), _np(sd[wk]).transpose(2, 1, 0))
+        _set(params, (f"conv{i}", "bias"), _np(sd[f"conv{i}.bias"]))
+        _convert_norm(sd, i, config.normMode, params, batch_stats)
+    return params, batch_stats
+
+
+def _convert_recurrent(sd: Dict[str, Any], prefix: str, n_layers: int
+                       ) -> dict:
+    """torch nn.GRU/LSTM/RNN state -> stacked _RecurrentLayer params."""
+    params: dict = {}
+    for l in range(n_layers):
+        layer = {}
+        for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            layer[name] = _np(sd[f"{prefix}{name}_l{l}"])
+        params[f"layer{l}"] = layer
+    return params
+
+
+def _convert_transformer_layer(sd: Dict[str, Any], prefix: str) -> dict:
+    """TransformerLayer torch keys -> flax params (same layouts)."""
+    out: dict = {"multihead": {}, "ln_multihead": {}, "ffnetwork": {},
+                 "ln_ffnetwork": {}}
+    for w in ("Wq", "Wk", "Wv", "Wo"):
+        out["multihead"][w] = {
+            "weight": _np(sd[f"{prefix}multihead.{w}.weight"])}
+    krel = sd.get(f"{prefix}multihead.Att.Krelpos")
+    if krel is not None:
+        out["multihead"]["Krelpos"] = _np(krel)
+    for ln in ("ln_multihead", "ln_ffnetwork"):
+        out[ln] = {"weight": _np(sd[f"{prefix}{ln}.weight"]),
+                   "bias": _np(sd[f"{prefix}{ln}.bias"])}
+    for lin in ("lin1", "lin2"):
+        out["ffnetwork"][lin] = {
+            "weight": _np(sd[f"{prefix}ffnetwork.{lin}.weight"]),
+            "bias": _np(sd[f"{prefix}ffnetwork.{lin}.bias"])}
+    return out
+
+
+def convert_ar(sd: Dict[str, Any], config: CPCConfig) -> dict:
+    """gAR.* torch keys -> AR params."""
+    if config.arMode == "no_ar":
+        return {}
+    if config.arMode == "transformer":
+        # nn.Sequential: optional StaticPositionEmbedding at 0 shifts layers
+        offset = 1 if config.abspos else 0
+        params = {}
+        for i in range(config.nLevelsGRU):
+            params[f"layer{i}"] = _convert_transformer_layer(
+                sd, f"{i + offset}.")
+        return params
+    return _convert_recurrent(sd, "baseNet.", config.nLevelsGRU)
+
+
+def convert_cpc_model(state_dict: Dict[str, Any], config: CPCConfig
+                      ) -> Tuple[dict, dict]:
+    """Whole-CPCModel torch state dict (ckpt['gEncoder']) ->
+    ({'gEncoder':..., 'gAR':...} params, batch_stats)."""
+    enc_sd = _strip_prefix(state_dict, "gEncoder.")
+    ar_sd = _strip_prefix(state_dict, "gAR.")
+    enc_params, enc_stats = convert_encoder(enc_sd, config)
+    ar_params = convert_ar(ar_sd, config)
+    params = {"gEncoder": enc_params}
+    if ar_params:
+        params["gAR"] = ar_params
+    batch_stats = {"gEncoder": enc_stats} if enc_stats else {}
+    return params, batch_stats
+
+
+def _stack_heads(sds, convert_one) -> dict:
+    """Stack per-head param trees along a leading K axis."""
+    trees = [convert_one(sd) for sd in sds]
+
+    def stack(*leaves):
+        return np.stack(leaves)
+
+    import jax
+    return jax.tree_util.tree_map(stack, *trees)
+
+
+def convert_prediction_network(sd: Dict[str, Any], config: CPCConfig) -> dict:
+    """wPrediction.predictors.{k}.* -> stacked 'heads' params."""
+    K = config.nPredicts
+    mode = config.rnnMode
+    heads_sds = [
+        _strip_prefix(sd, f"predictors.{k}.") for k in range(K)]
+
+    if mode == "transformer":
+        def one(h):
+            return {"layer0": _convert_transformer_layer(h, "0.")}
+    elif mode == "linear":
+        def one(h):
+            return {"weight": _np(h["weight"])}
+    elif mode == "ffd":
+        def one(h):
+            return {"lin1": {"weight": _np(h["lin1.module.weight"]),
+                             "bias": _np(h["lin1.module.bias"])},
+                    "lin2": {"weight": _np(h["lin2.module.weight"]),
+                             "bias": _np(h["lin2.module.bias"])}}
+    elif mode and mode.startswith("conv"):
+        def one(h):
+            return {"module": {"weight": _np(h["module.module.weight"]),
+                               "bias": _np(h["module.module.bias"])}}
+    elif mode in ("RNN", "LSTM"):
+        def one(h):
+            return {"cell": {"weight_ih": _np(h["weight_ih_l0"]),
+                             "weight_hh": _np(h["weight_hh_l0"]),
+                             "bias_ih": _np(h["bias_ih_l0"]),
+                             "bias_hh": _np(h["bias_hh_l0"])}}
+    else:
+        raise ValueError(f"Unknown rnnMode {mode}")
+
+    return {"heads": _stack_heads(heads_sds, one)}
+
+
+def convert_criterion(state_dict: Dict[str, Any], config: CPCConfig,
+                      kind: str = "cpc") -> dict:
+    """ckpt['cpcCriterion'] torch state dict -> criterion params."""
+    params: dict = {}
+    if kind == "cpc":
+        wp = _strip_prefix(state_dict, "wPrediction.")
+        params["wPrediction"] = convert_prediction_network(wp, config)
+        if "speakerEmb.weight" in state_dict:
+            params["speakerEmb"] = {
+                "embedding": _np(state_dict["speakerEmb.weight"])}
+    elif kind == "speaker":
+        params["linearSpeakerClassifier"] = {
+            "weight": _np(state_dict["linearSpeakerClassifier.weight"]),
+            "bias": _np(state_dict["linearSpeakerClassifier.bias"])}
+    elif kind == "phone":
+        if "PhoneCriterionClassifier.weight" in state_dict:
+            params["classifier0"] = {
+                "weight": _np(state_dict["PhoneCriterionClassifier.weight"]),
+                "bias": _np(state_dict["PhoneCriterionClassifier.bias"])}
+        else:  # sequential MLP: indices 0, 2, 4...
+            i, l = 0, 0
+            while f"PhoneCriterionClassifier.{i}.weight" in state_dict:
+                params[f"classifier{l}"] = {
+                    "weight": _np(
+                        state_dict[f"PhoneCriterionClassifier.{i}.weight"]),
+                    "bias": _np(
+                        state_dict[f"PhoneCriterionClassifier.{i}.bias"])}
+                i += 2
+                l += 1
+    elif kind == "ctc":
+        params["PhoneCriterionClassifier"] = {
+            "weight": _np(state_dict["PhoneCriterionClassifier.weight"]),
+            "bias": _np(state_dict["PhoneCriterionClassifier.bias"])}
+    return params
+
+
+def tree_shapes_match(a: Any, b: Any) -> bool:
+    import jax
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return (len(la) == len(lb)
+            and all(np.shape(x) == np.shape(y) for x, y in zip(la, lb)))

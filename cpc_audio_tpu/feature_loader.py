@@ -1,0 +1,319 @@
+"""Checkpoint loading + feature-extraction API.
+
+Reference: /root/reference/cpc/feature_loader.py (269 LoC).
+
+Functional differences by design:
+  * Models are flax modules; "loading a model" returns (module, variables).
+  * ``FeatureModule`` keeps the reference's stateful-hidden convenience (for
+    ABX chunked extraction, eval/ABX.py:169-170) as explicit held state with
+    a ``reset()``; hidden resets per file in build_feature (the reference
+    carried hidden across files — a quirk, documented deviation).
+  * ``build_feature`` always runs fixed-size chunks (tail padded, valid
+    frames sliced) so the TPU compiles exactly one shape; causal ARs make
+    this exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import checkpoint as ckpt
+from . import convert
+from .config import CPCConfig
+from .data.audio_io import decode_file
+from .models import CPCModel, ConcatenatedModel, build_model
+
+
+# ---------------------------------------------------------------------------
+# Model loading
+# ---------------------------------------------------------------------------
+
+def _load_single(path: str) -> Tuple[CPCConfig, dict, Any, Any]:
+    """Load one checkpoint file -> (config, raw_args, model_params,
+    batch_stats)."""
+    data = ckpt.get_checkpoint_data(os.path.dirname(path))
+    if data is None:
+        raise FileNotFoundError(f"No checkpoint data found for {path}")
+    _, _, config, raw_args = data
+    blob = ckpt.load_checkpoint(path)
+    if blob.get("format") == "cpc_audio_tpu":
+        params = blob["gEncoder"]
+        batch_stats = blob.get("batch_stats") or {}
+        batch_stats = batch_stats.get("model", batch_stats)
+    else:  # reference torch checkpoint
+        sd = blob["gEncoder"]
+        sd = {k: v for k, v in sd.items()}
+        params, batch_stats = convert.convert_cpc_model(sd, config)
+    return config, raw_args, params, batch_stats
+
+
+def load_model(path_checkpoints: Sequence[str], load_state_dict: bool = True,
+               ) -> Tuple[Any, dict, int, int]:
+    """Rebuild model(s) from checkpoints (feature_loader.py:156-190).
+
+    Returns (model_module, variables, hidden_gar, hidden_encoder).
+    Multiple paths -> ConcatenatedModel.
+    """
+    configs: List[CPCConfig] = []
+    params_list: List[Any] = []
+    stats_list: List[Any] = []
+    hidden_gar, hidden_encoder = 0, 0
+
+    for path in path_checkpoints:
+        config, raw_args, params, batch_stats = _load_single(path)
+        load_chain = raw_args.get("load")
+        do_load = load_chain and (
+            len(load_chain) > 1
+            or os.path.dirname(os.path.abspath(load_chain[0]))
+            != os.path.dirname(os.path.abspath(path)))
+        if do_load:
+            # probe checkpoint wrapping a pretrained CPC: rebuild from the
+            # chain, then load this checkpoint's weights over it
+            sub_model, sub_vars, hg, he = load_model(load_chain,
+                                                     load_state_dict=False)
+            if isinstance(sub_model, ConcatenatedModel):
+                raise NotImplementedError(
+                    "nested concatenated checkpoints unsupported")
+            configs.append(sub_model.config)
+            hidden_gar += hg
+            hidden_encoder += he
+        else:
+            if config.arMode == "no_ar":
+                config = config.replace(hiddenGar=config.hiddenEncoder)
+            if config.arMode == "transformer":
+                config = config.replace(hiddenGar=config.hiddenEncoder)
+            configs.append(config)
+            hidden_gar += config.hiddenGar
+            hidden_encoder += config.hiddenEncoder
+        if load_state_dict:
+            params_list.append(params)
+            stats_list.append(batch_stats)
+
+    if len(configs) == 1:
+        model = build_model(configs[0])
+    else:
+        model = ConcatenatedModel(configs)
+
+    if load_state_dict:
+        if len(configs) == 1:
+            variables = {"params": params_list[0]}
+            if stats_list[0]:
+                variables["batch_stats"] = stats_list[0]
+        else:
+            variables = {"params": {f"model{i}": p
+                                    for i, p in enumerate(params_list)}}
+            if any(stats_list):
+                variables["batch_stats"] = {
+                    f"model{i}": s for i, s in enumerate(stats_list) if s}
+    else:
+        rng = jax.random.PRNGKey(0)
+        sw = configs[0].sizeWindow
+        variables = model.init({"params": rng},
+                               jnp.zeros((1, 1, sw), jnp.float32))
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    return model, variables, hidden_gar, hidden_encoder
+
+
+def load_state_into(state, path: str, config: CPCConfig,
+                    load_criterion: bool = False,
+                    load_optimizer: bool = False):
+    """Load checkpoint weights into a fresh TrainState (resume /
+    --load paths, reference train.py:301-343)."""
+    blob = ckpt.load_checkpoint(path)
+    params = dict(state.params)
+    batch_stats = state.batch_stats
+    if blob.get("format") == "cpc_audio_tpu":
+        model_params = blob["gEncoder"]
+        if not convert.tree_shapes_match(model_params, state.params["model"]):
+            raise ValueError(f"checkpoint {path} does not match the model")
+        params["model"] = jax.tree_util.tree_map(jnp.asarray, model_params)
+        if load_criterion and blob.get("cpcCriterion"):
+            params["criterion"] = jax.tree_util.tree_map(
+                jnp.asarray, blob["cpcCriterion"])
+        opt_state = state.opt_state
+        if load_optimizer and blob.get("optimizer") is not None:
+            try:
+                flat_new = jax.tree_util.tree_leaves(blob["optimizer"])
+                treedef = jax.tree_util.tree_structure(state.opt_state)
+                opt_state = jax.tree_util.tree_unflatten(
+                    treedef, [jnp.asarray(x) for x in flat_new])
+            except Exception:
+                print("WARNING: optimizer state incompatible; reinitialized")
+        if blob.get("batch_stats"):
+            batch_stats = jax.tree_util.tree_map(jnp.asarray,
+                                                 blob["batch_stats"])
+        return state._replace(params=params, opt_state=opt_state,
+                              batch_stats=batch_stats)
+    # torch reference checkpoint
+    model_params, torch_stats = convert.convert_cpc_model(
+        dict(blob["gEncoder"]), config)
+    params["model"] = jax.tree_util.tree_map(jnp.asarray, model_params)
+    if load_criterion and blob.get("cpcCriterion"):
+        params["criterion"] = jax.tree_util.tree_map(
+            jnp.asarray, convert.convert_criterion(
+                dict(blob["cpcCriterion"]), config, kind="cpc"))
+    if torch_stats:
+        batch_stats = {"model": jax.tree_util.tree_map(jnp.asarray,
+                                                       torch_stats)}
+    return state._replace(params=params, batch_stats=batch_stats)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction
+# ---------------------------------------------------------------------------
+
+def seq_normalization(out: jax.Array) -> jax.Array:
+    """Per-sequence time normalization (feature_loader.py:221-225);
+    torch unbiased variance."""
+    mean = jnp.mean(out, axis=1, keepdims=True)
+    var = jnp.var(out, axis=1, keepdims=True, ddof=1)
+    return (out - mean) / jnp.sqrt(var + 1e-8)
+
+
+def to_one_hot(labels: jax.Array, n_items: int) -> jax.Array:
+    """(B, S) int -> (B, S, n_items) one-hot (feature_loader.py:212-218)."""
+    return jax.nn.one_hot(labels, n_items, dtype=jnp.int64 if False
+                          else jnp.float32)
+
+
+class FeatureModule:
+    """Inference wrapper over (module, variables)
+    (feature_loader.py:15-38)."""
+
+    def __init__(self, model, variables, get_encoded: bool = False,
+                 collapse: bool = False, keep_hidden: bool = False):
+        self.model = model
+        self.variables = variables
+        self.get_encoded = get_encoded
+        self.collapse = collapse
+        self.keep_hidden = keep_hidden
+        self.hidden = None
+
+        def fwd(variables, batch, hidden):
+            c, z, _, h = model.apply(variables, batch, None, hidden,
+                                     train=False)
+            return (z if get_encoded else c), h
+
+        self._fwd = jax.jit(fwd)
+
+    def get_downsampling_factor(self) -> int:
+        return 160
+
+    def reset(self) -> None:
+        self.hidden = None
+
+    def __call__(self, data) -> jax.Array:
+        batch, label = data if isinstance(data, tuple) else (data, None)
+        batch = jnp.asarray(batch, jnp.float32)
+        if batch.ndim == 2:
+            batch = batch[:, None, :]
+        features, h = self._fwd(self.variables, batch, self.hidden)
+        if self.keep_hidden:
+            self.hidden = h
+        if self.collapse:
+            features = features.reshape(-1, features.shape[-1])
+        return features
+
+
+class ModelPhoneCombined:
+    """Feature maker + phone classifier -> posteriors
+    (feature_loader.py:41-71)."""
+
+    def __init__(self, feature_module: FeatureModule, criterion,
+                 criterion_variables, one_hot: bool = False):
+        self.model = feature_module
+        self.criterion = criterion
+        self.criterion_variables = criterion_variables
+        self.one_hot = one_hot
+
+        def predict(variables, c):
+            return criterion.apply(variables, c,
+                                   method=criterion.get_prediction)
+
+        self._predict = jax.jit(predict)
+
+    def get_downsampling_factor(self) -> int:
+        return self.model.get_downsampling_factor()
+
+    def __call__(self, data) -> jax.Array:
+        c = self.model(data)
+        pred = self._predict(self.criterion_variables, c)
+        if self.one_hot:
+            return to_one_hot(jnp.argmax(pred, axis=2), pred.shape[2])
+        return jax.nn.softmax(pred, axis=2)
+
+
+def build_feature(feature_maker, seq_path: str, strict: bool = False,
+                  max_size_seq: int = 64000, seq_norm: bool = False
+                  ) -> np.ndarray:
+    """Chunked long-file inference (feature_loader.py:228-269).
+
+    Returns (1, n_frames, C).  Non-strict: the ragged tail chunk is
+    right-padded to max_size_seq and only its valid frames kept (exact for
+    causal ARs, and keeps one compiled shape on TPU).  Strict: the tail is
+    re-run as a full-size chunk ending at the file end and only the missing
+    frames appended (feature_loader.py:246-268)."""
+    seq = decode_file(seq_path)
+    if hasattr(feature_maker, "reset"):
+        feature_maker.reset()
+    size_seq = len(seq)
+    ds = feature_maker.get_downsampling_factor() \
+        if hasattr(feature_maker, "get_downsampling_factor") else 160
+    out = []
+    start = 0
+    while start < size_seq:
+        if strict and start + max_size_seq > size_seq:
+            break
+        end = min(size_seq, start + max_size_seq)
+        chunk = seq[start:end]
+        valid_frames = len(chunk) // ds
+        if len(chunk) < max_size_seq:
+            chunk = np.pad(chunk, (0, max_size_seq - len(chunk)))
+        features = feature_maker((chunk[None, None, :], None))
+        features = features[:, :valid_frames]
+        if seq_norm:
+            features = seq_normalization(features)
+        out.append(np.asarray(features))
+        start += max_size_seq
+    if strict and start < size_seq:
+        chunk = seq[-max_size_seq:] if size_seq >= max_size_seq \
+            else np.pad(seq, (max_size_seq - size_seq, 0))
+        features = feature_maker((chunk[None, None, :], None))
+        delta = (size_seq - start) // ds
+        if seq_norm:
+            features = seq_normalization(features)
+        out.append(np.asarray(features[:, features.shape[1] - delta:]))
+    return np.concatenate(out, axis=1)
+
+
+def load_supervised_criterion(path_checkpoint: str):
+    """Rebuild + load a phone/CTC probe checkpoint
+    (feature_loader.py:83-97).  Returns (criterion, variables, n_phones)."""
+    from .criterion import CTCPhoneCriterion, PhoneCriterion
+    from .data import parse_seq_labels
+
+    data = ckpt.get_checkpoint_data(os.path.dirname(path_checkpoint))
+    assert data is not None
+    _, _, config, raw_args = data
+    _, n_phones = parse_seq_labels(raw_args["pathPhone"])
+    dim = config.hiddenGar if not config.onEncoder else config.hiddenEncoder
+    if raw_args.get("CTC"):
+        criterion = CTCPhoneCriterion(dim, n_phones, config.onEncoder)
+    else:
+        criterion = PhoneCriterion(dim, n_phones, config.onEncoder,
+                                   n_layers=config.nLevelsPhone)
+    blob = ckpt.load_checkpoint(path_checkpoint)
+    if blob.get("format") == "cpc_audio_tpu":
+        variables = {"params": jax.tree_util.tree_map(
+            jnp.asarray, blob["cpcCriterion"])}
+    else:
+        kind = "ctc" if raw_args.get("CTC") else "phone"
+        variables = {"params": jax.tree_util.tree_map(
+            jnp.asarray, convert.convert_criterion(
+                dict(blob["cpcCriterion"]), config, kind=kind))}
+    return criterion, variables, n_phones

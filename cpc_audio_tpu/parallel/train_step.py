@@ -1,0 +1,170 @@
+"""Jitted, sharded train/val steps.
+
+Replaces the reference's DataParallel train loop body
+(/root/reference/cpc/train.py:64-155) with a single compiled program:
+forward (encoder + AR), InfoNCE, backward, Adam update — all under
+``shard_map`` on a 1-D ``data`` mesh.
+
+Parity notes:
+  * Per-device negative sampling: the RNG key folds in the device index, so
+    each shard samples negatives within its own local batch — the same
+    semantics as wrapping the criterion in DataParallel (train.py:374).
+  * Loss/grad reduction: the backward objective is the SUM over devices of
+    per-device mean CE summed over prediction steps, exactly
+    ``allLosses.sum().backward()`` over the gathered (nGPU, K) tensor
+    (train.py:85); logged metrics are the device MEAN (train.py:97-98).
+  * Adam: optax.scale_by_adam(eps_root=0) matches torch.optim.Adam; the
+    learning rate enters as a traced scalar so per-epoch scheduling
+    (utils.lr_for_epoch) needs no recompilation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+
+class TrainState(NamedTuple):
+    params: Any          # {"model": ..., "criterion": ...}
+    batch_stats: Any     # {} when the encoder has no batchNorm
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(beta1: float = 0.9, beta2: float = 0.999,
+                   epsilon: float = 1e-8) -> optax.GradientTransformation:
+    """Adam direction; the step scales by the traced lr inside train_step."""
+    return optax.chain(
+        optax.scale_by_adam(b1=beta1, b2=beta2, eps=epsilon, eps_root=0.0),
+        optax.scale(-1.0),
+    )
+
+
+def create_train_state(rng: jax.Array, model, criterion,
+                       optimizer: optax.GradientTransformation,
+                       batch_shape: Tuple[int, ...],
+                       label_example=None) -> TrainState:
+    """Initialize model+criterion parameters with dummy shapes."""
+    k_model, k_crit, k_sample = jax.random.split(rng, 3)
+    dummy = jnp.zeros(batch_shape, jnp.float32)
+    model_vars = model.init({"params": k_model}, dummy, label_example,
+                            train=True)
+    c, z, _, _ = model.apply(
+        model_vars, dummy, label_example, train=False,
+        **({} if "batch_stats" not in model_vars else {}))
+    crit_vars = criterion.init(
+        {"params": k_crit, "sampling": k_sample, "dropout": k_sample},
+        c, z, label_example, train=False)
+    params = {"model": model_vars["params"],
+              "criterion": crit_vars.get("params", {})}
+    batch_stats = {"model": model_vars["batch_stats"]} \
+        if "batch_stats" in model_vars else {}
+    opt_state = optimizer.init(params)
+    return TrainState(params, batch_stats, opt_state,
+                      jnp.zeros((), jnp.int32))
+
+
+def _model_variables(params, batch_stats):
+    v = {"params": params["model"]}
+    if batch_stats:
+        v["batch_stats"] = batch_stats["model"]
+    return v
+
+
+def _forward_loss(model, criterion, params, batch_stats, batch, labels,
+                  hidden, rngs, train: bool):
+    model_vars = _model_variables(params, batch_stats)
+    if batch_stats and train:
+        (c, z, lab, hid), updated = model.apply(
+            model_vars, batch, labels, hidden, train=True,
+            mutable=["batch_stats"])
+        new_stats = {"model": updated["batch_stats"]}
+    else:
+        c, z, lab, hid = model.apply(model_vars, batch, labels, hidden,
+                                     train=train)
+        new_stats = batch_stats
+    losses, accs = criterion.apply({"params": params["criterion"]}, c, z,
+                                   lab, train=train, rngs=rngs)
+    return losses, accs, new_stats, hid
+
+
+def _hidden_spec(hidden):
+    """Hidden-state leaves are (layers, B, H): batch on axis 1."""
+    return jax.tree_util.tree_map(lambda _: P(None, DATA_AXIS), hidden)
+
+
+def make_train_step(model, criterion, optimizer, mesh: Mesh,
+                    hidden_example=None, donate: bool = True):
+    """Build the jitted sharded train step.
+
+    Signature: ``train_step(state, batch, labels, hidden, key, lr)
+    -> (state, hidden_out, metrics)`` where metrics = {losses (K,), acc (K,)}.
+    """
+    hspec = _hidden_spec(hidden_example)
+
+    def step_impl(state: TrainState, batch, labels, hidden, key, lr):
+        dev_key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        k_sample, k_drop = jax.random.split(dev_key)
+        rngs = {"sampling": k_sample, "dropout": k_drop}
+
+        def loss_fn(params):
+            losses, accs, new_stats, hid = _forward_loss(
+                model, criterion, params, state.batch_stats, batch, labels,
+                hidden, rngs, train=True)
+            return jnp.sum(losses), (losses, accs, new_stats, hid)
+
+        grads, (losses, accs, new_stats, hid) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        # DataParallel-sum parity: gradient of the device-summed loss.
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params = optax.apply_updates(state.params, updates)
+        if new_stats:
+            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        metrics = {"losses": jax.lax.pmean(losses, DATA_AXIS),
+                   "acc": jax.lax.pmean(accs, DATA_AXIS)}
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        if hidden_example is None:
+            hid = None  # not carried; keep out_specs pytree-compatible
+        return new_state, hid, metrics
+
+    sharded = jax.shard_map(
+        step_impl, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), hspec, P(), P()),
+        out_specs=(P(), hspec, P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_val_step(model, criterion, mesh: Mesh, hidden_example=None):
+    """``val_step(state, batch, labels, hidden, key) -> (hidden, metrics)``
+    (train.py:122-155)."""
+    hspec = _hidden_spec(hidden_example)
+
+    def step_impl(state: TrainState, batch, labels, hidden, key):
+        dev_key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        rngs = {"sampling": dev_key}
+        losses, accs, _, hid = _forward_loss(
+            model, criterion, state.params, state.batch_stats, batch,
+            labels, hidden, rngs, train=False)
+        metrics = {"losses": jax.lax.pmean(losses, DATA_AXIS),
+                   "acc": jax.lax.pmean(accs, DATA_AXIS)}
+        if hidden_example is None:
+            hid = None
+        return hid, metrics
+
+    sharded = jax.shard_map(
+        step_impl, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), hspec, P()),
+        out_specs=(hspec, P()),
+        check_vma=False)
+    return jax.jit(sharded)

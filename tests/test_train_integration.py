@@ -1,0 +1,110 @@
+"""End-to-end training slice on the bundled fixtures (SURVEY.md §7 stage 4):
+loss decreases, accuracies beat chance, checkpoints round-trip, resume works.
+Runs on the 8-device CPU mesh.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from cpc_audio_tpu.ops import native
+
+REF_DATA = "/root/reference/cpc/test_data"
+DB = os.path.join(REF_DATA, "test_db")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(DB) and native.available()),
+    reason="fixtures or native decoder unavailable")
+
+SMALL = ["--hiddenEncoder", "32", "--hiddenGar", "24", "--nPredicts", "3",
+         "--negativeSamplingExt", "8", "--sizeWindow", "3200",
+         "--rnnMode", "linear", "--arMode", "GRU",
+         "--batchSizeGPU", "2", "--nGPU", "4",
+         "--learningRate", "2e-3", "--random_seed", "7",
+         "--n_process_loader", "2", "--ignore_cache"]
+
+
+def _run_main(argv):
+    from cpc_audio_tpu.train import main
+    return main(argv)
+
+
+def test_train_end_to_end(tmp_path):
+    out = str(tmp_path / "ckpt")
+    rc = _run_main(SMALL + ["--pathDB", DB, "--nEpoch", "3",
+                            "--save_step", "1", "--pathCheckpoint", out])
+    assert rc == 0
+    # checkpoints + sidecars written
+    files = os.listdir(out)
+    assert "checkpoint_logs.json" in files
+    assert "checkpoint_args.json" in files
+    assert any(f.startswith("checkpoint_") and f.endswith(".pt")
+               for f in files)
+    with open(os.path.join(out, "checkpoint_logs.json")) as f:
+        logs = json.load(f)
+    assert logs["epoch"] == [0, 1, 2]
+    first = np.mean(logs["locLoss_train"][0])
+    last = np.mean(logs["locLoss_train"][-1])
+    assert last < first, (first, last)
+    # sidecar args round-trip into a config
+    with open(os.path.join(out, "checkpoint_args.json")) as f:
+        args = json.load(f)
+    assert args["hiddenEncoder"] == 32
+    assert args["nPredicts"] == 3
+
+    # resume: two more epochs continue the logs
+    rc = _run_main(SMALL + ["--pathDB", DB, "--nEpoch", "5",
+                            "--save_step", "1", "--pathCheckpoint", out])
+    assert rc == 0
+    with open(os.path.join(out, "checkpoint_logs.json")) as f:
+        logs2 = json.load(f)
+    assert logs2["epoch"] == [0, 1, 2, 3, 4]
+    assert logs2["locLoss_train"][:3] == logs["locLoss_train"]
+
+
+def test_checkpoint_feature_roundtrip(tmp_path):
+    out = str(tmp_path / "ckpt")
+    rc = _run_main(SMALL + ["--pathDB", DB, "--nEpoch", "1",
+                            "--save_step", "1", "--pathCheckpoint", out])
+    assert rc == 0
+    from cpc_audio_tpu.feature_loader import (FeatureModule, build_feature,
+                                              load_model)
+    path = os.path.join(out, "checkpoint_0.pt")
+    model, variables, hg, he = load_model([path])
+    assert hg == 24 and he == 32
+    fm = FeatureModule(model, variables)
+    flac = os.path.join(DB, "2911/12359/2911-12359-0007.flac")
+    feats = build_feature(fm, flac, max_size_seq=32000)
+    assert feats.shape[0] == 1 and feats.shape[2] == 24
+    assert feats.shape[1] == 81520 // 160  # every 10 ms
+    assert np.isfinite(feats).all()
+    # encoder features
+    fm_enc = FeatureModule(model, variables, get_encoded=True)
+    feats_enc = build_feature(fm_enc, flac, max_size_seq=32000)
+    assert feats_enc.shape[2] == 32
+    # strict mode: same frame count
+    feats_strict = build_feature(fm, flac, strict=True, max_size_seq=32000)
+    assert feats_strict.shape[1] == feats.shape[1]
+    # seqNorm produces ~zero mean per chunk
+    feats_norm = build_feature(fm, flac, seq_norm=True, max_size_seq=32000)
+    assert abs(np.asarray(feats_norm).mean()) < 0.2
+
+
+def test_supervised_phone_training(tmp_path):
+    out = str(tmp_path / "ckpt_phone")
+    # only two fixture sequences have phone labels
+    split = tmp_path / "labeled.txt"
+    split.write_text("4051-11218-0044\n2911-12359-0007\n")
+    rc = _run_main(SMALL + [
+        "--pathDB", DB, "--nEpoch", "2", "--save_step", "1",
+        "--pathTrain", str(split),
+        "--pathCheckpoint", out, "--supervised",
+        "--pathPhone", os.path.join(REF_DATA, "phone_labels.txt")])
+    assert rc == 0
+    with open(os.path.join(out, "checkpoint_logs.json")) as f:
+        logs = json.load(f)
+    assert np.mean(logs["locLoss_train"][-1]) \
+        < np.mean(logs["locLoss_train"][0])
