@@ -1,0 +1,73 @@
+"""ZeroSpeech feature export + sample-rate adjuster tests."""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from cpc_audio_tpu.ops import native
+
+REF_DATA = "/root/reference/cpc/test_data"
+DB = os.path.join(REF_DATA, "test_db")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(DB) and native.available()),
+    reason="fixtures or native decoder unavailable")
+
+
+@pytest.fixture(scope="module")
+def cpc_checkpoint(tmp_path_factory):
+    from cpc_audio_tpu.train import main
+    out = str(tmp_path_factory.mktemp("cpc") / "ckpt")
+    args = ["--hiddenEncoder", "32", "--hiddenGar", "24", "--nPredicts", "3",
+            "--negativeSamplingExt", "8", "--sizeWindow", "3200",
+            "--rnnMode", "linear", "--arMode", "GRU",
+            "--batchSizeGPU", "2", "--nGPU", "2", "--random_seed", "7",
+            "--n_process_loader", "2", "--ignore_cache", "--nEpoch", "1",
+            "--save_step", "1", "--pathDB", DB, "--pathCheckpoint", out]
+    assert main(args) == 0
+    return os.path.join(out, "checkpoint_0.pt")
+
+
+def test_build_zerospeech_features(tmp_path, cpc_checkpoint):
+    from cpc_audio_tpu.eval.build_zerospeech_features import main
+    # use a small sub-tree to keep it fast
+    out = str(tmp_path / "feats")
+    rc = main([os.path.join(DB, "2911"), out, cpc_checkpoint,
+               "--extension", ".flac", "--format", "npz",
+               "--maxSizeSeq", "32000"])
+    assert rc == 0
+    files = [f for f in os.listdir(out) if f.endswith(".npz")]
+    assert files
+    blob = np.load(os.path.join(out, files[0]))
+    assert blob["features"].shape[1] == 24
+    assert blob["features"].shape[0] == len(blob["time"])
+    # 10 ms steps starting at 5 ms
+    assert abs(blob["time"][0] - 0.005) < 1e-6
+    assert abs(blob["time"][1] - blob["time"][0] - 0.01) < 1e-6
+
+    # fea text format
+    out2 = str(tmp_path / "feats_fea")
+    rc = main([os.path.join(DB, "2911"), out2, cpc_checkpoint,
+               "--extension", ".flac", "--format", "fea",
+               "--maxSizeSeq", "32000"])
+    assert rc == 0
+    fea = [f for f in os.listdir(out2) if f.endswith(".fea")][0]
+    with open(os.path.join(out2, fea)) as f:
+        first = f.readline().split()
+    assert len(first) == 25  # time + 24 dims
+
+
+def test_adjust_sample_rate(tmp_path):
+    from cpc_audio_tpu.eval.adjust_sample_rate import main
+    src = os.path.join(DB, "2911", "12359")
+    phone_list = tmp_path / "phones.txt"
+    phone_list.write_text("2911-12359-0007 0 0 0\n")
+    out = str(tmp_path / "resampled")
+    rc = main([src, str(phone_list), out, "--out_sample_rate", "8000",
+               "--file_extension", ".flac"])
+    assert rc == 0
+    with wave.open(os.path.join(out, "2911-12359-0007.wav"), "rb") as w:
+        assert w.getframerate() == 8000
+        assert abs(w.getnframes() - 81520 // 2) <= 2
