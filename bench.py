@@ -2,14 +2,18 @@
 
 Runs the full default-config training step (256-dim conv encoder, LSTM AR,
 12 vmapped transformer prediction heads, 128 negatives, 20480-sample
-windows — reference cpc_default_config.py defaults) on synthetic data and
-reports steady-state windows/sec/chip.
+windows — reference cpc_default_config.py defaults) on synthetic data.
+
+Timing methodology: through the remote TPU tunnel, dispatch completion is
+NOT execution completion, so the measurement forces a device->host readback
+of the final step's loss and takes the SLOPE between two chained run
+lengths (k2 - k1 steps) to cancel the fixed RPC/transfer overhead.
 
 ``vs_baseline`` compares against A100_REF_WINDOWS_PER_SEC, an estimate of
 the torch reference's single-A100 throughput (the reference publishes no
 numbers — BASELINE.md): ~8.6 GFLOP fwd/window with eager torch, sequential
-per-head loops and cuDNN LSTM ≈ 700 windows/s.  BASELINE.json's north star
-is >= 3x this.
+per-head modules and cuDNN LSTM ~= 700 windows/s.  BASELINE.json's north
+star is >= 3x this.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,7 +28,6 @@ A100_REF_WINDOWS_PER_SEC = 700.0  # documented estimate, see module docstring
 
 def main():
     import jax
-    import jax.numpy as jnp
     from cpc_audio_tpu.config import CPCConfig
     from cpc_audio_tpu.criterion import CPCUnsupervisedCriterion
     from cpc_audio_tpu.models import build_model
@@ -56,21 +59,33 @@ def main():
     labels = shard_batch(mesh, np.zeros(batch_size, np.int64))
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
-    for _ in range(3):
-        key, sub = jax.random.split(key)
-        state, _, metrics = train_step(state, batch, labels, None, sub, 2e-4)
-    jax.block_until_ready(metrics["losses"])
+    def run_steps(state, k):
+        metrics = None
+        for i in range(k):
+            state, _, metrics = train_step(
+                state, batch, labels, None, jax.random.fold_in(key, i), 2e-4)
+        return state, metrics
 
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        key, sub = jax.random.split(key)
-        state, _, metrics = train_step(state, batch, labels, None, sub, 2e-4)
-    jax.block_until_ready(metrics["losses"])
-    elapsed = time.perf_counter() - t0
+    # compile + warm, with a forced readback
+    state, metrics = run_steps(state, 3)
+    _ = np.asarray(metrics["losses"])
 
-    windows_per_sec = n_steps * batch_size / elapsed
+    def timed(k, reps=3):
+        nonlocal state
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state, metrics = run_steps(state, k)
+            _ = np.asarray(metrics["losses"])  # force true completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k1, k2 = 4, 24
+    t1 = timed(k1)
+    t2 = timed(k2)
+    step_time = max((t2 - t1) / (k2 - k1), 1e-9)
+
+    windows_per_sec = batch_size / step_time
     per_chip = windows_per_sec / n_devices
     print(json.dumps({
         "metric": "cpc_pretrain_windows_per_sec_per_chip",

@@ -169,6 +169,10 @@ class TrainConfig:
     nGPU: int = -1             # number of devices; -1 = all
     debug: bool = False
 
+    # TPU extensions
+    profile_dir: Optional[str] = None   # jax.profiler trace output dir
+    distributed: bool = False           # initialize multi-host runtime
+
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
 

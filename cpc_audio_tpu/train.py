@@ -68,7 +68,7 @@ def _metrics_to_numpy(metrics) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def train_epoch(loader, train_step, state, hidden, key, lr,
-                shard_fn, logging_step: int) -> Tuple:
+                shard_fn, logging_step: int, meter=None) -> Tuple:
     """One epoch (reference trainStep, train.py:64-121)."""
     import jax
     start_time = time.perf_counter()
@@ -81,6 +81,8 @@ def train_epoch(loader, train_step, state, hidden, key, lr,
         key, sub = jax.random.split(key)
         state, hidden, metrics = train_step(state, b, l, hidden, sub, lr)
         losses, acc = _metrics_to_numpy(metrics)
+        if meter is not None:
+            meter.update(batch.shape[0])
         if "locLoss_train" not in logs:
             logs["locLoss_train"] = np.zeros(losses.shape[0])
             logs["locAcc_train"] = np.zeros(losses.shape[0])
@@ -93,6 +95,8 @@ def train_epoch(loader, train_step, state, hidden, key, lr,
             print(f"elapsed: {elapsed:.1f} s")
             print(f"{1000.0 * elapsed / logging_step:.1f} ms per batch, "
                   f"{1000.0 * elapsed / n_examples:.1f} ms / example")
+            if meter is not None:
+                print(f"throughput: {meter.summary()}")
             loc_logs = utils.update_logs(logs, logging_step, last_logs)
             last_logs = deepcopy(logs)
             utils.show_logs("Training loss", loc_logs)
@@ -133,6 +137,7 @@ def run(train_dataset: AudioBatchData, val_dataset: AudioBatchData,
     import jax
     from .parallel import (make_optimizer, make_train_step, make_val_step,
                            shard_batch)
+    from .utils.profiling import ThroughputMeter, profile_trace
 
     optimizer = make_optimizer(config.beta1, config.beta2, config.epsilon)
     keep_hidden = config.samplingType == "sequential" \
@@ -168,9 +173,14 @@ def run(train_dataset: AudioBatchData, val_dataset: AudioBatchData,
                                   batch_size))
         hidden = jax.tree_util.tree_map(lambda x: x * 0, hidden_example) \
             if hidden_example is not None else None
-        loc_logs_train, state, hidden, key = train_epoch(
-            train_loader, train_step, state, hidden, key, lr, shard_fn,
-            logs["logging_step"])
+        meter = ThroughputMeter(n_devices)
+        profile_dir = getattr(train_config, "profile_dir", None) \
+            if epoch == start_epoch else None
+        with profile_trace(profile_dir):
+            loc_logs_train, state, hidden, key = train_epoch(
+                train_loader, train_step, state, hidden, key, lr, shard_fn,
+                logs["logging_step"], meter=meter)
+        print(f"epoch throughput: {meter.summary()}")
         loc_logs_val, hidden, key = val_epoch(
             val_loader, val_step, state, hidden, key, shard_fn)
         print(f"Ran {epoch + 1} epochs "
@@ -207,7 +217,12 @@ def main(argv=None) -> int:
 
     import jax
     from .parallel import get_mesh
+    from .parallel.distributed import (initialize_distributed,
+                                       shard_sequences)
     from .parallel.train_step import create_train_state, make_optimizer
+
+    if train_config.distributed:
+        initialize_distributed()
 
     seed = utils.set_seed(cpc_config.random_seed)
     cpc_config = cpc_config.replace(random_seed=seed)
@@ -274,6 +289,11 @@ def main(argv=None) -> int:
     if train_config.debug:
         seq_train = seq_train[:2000]
         seq_val = seq_val[:2000]
+
+    # multi-host: each process loads a disjoint shard of the file list
+    if jax.process_count() > 1:
+        seq_train = shard_sequences(seq_train)
+        seq_val = shard_sequences(seq_val)
 
     print(f"Loading audio data at {train_config.pathDB}")
     train_dataset = AudioBatchData(
@@ -359,6 +379,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Number of devices (kept for flag parity; -1=all)")
     g.add_argument("--batchSizeGPU", type=int, default=d.batchSizeGPU)
     parser.add_argument("--debug", action="store_true")
+    g = parser.add_argument_group("TPU")
+    g.add_argument("--profile_dir", type=str, default=d.profile_dir,
+                   help="Write a jax.profiler trace of the first epoch here")
+    g.add_argument("--distributed", action="store_true",
+                   help="Initialize the multi-host JAX runtime (TPU pods)")
     args = parser.parse_args(argv)
     if args.pathDB is None:
         parser.error("--pathDB is required")
