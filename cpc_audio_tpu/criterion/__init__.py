@@ -1,5 +1,6 @@
 from .custom_layers import EqualizedConv1d, EqualizedDense
-from .infonce import (BaseCriterion, CPCUnsupervisedCriterion, NoneCriterion,
+from .infonce import (BaseCriterion, CPCUnsupervisedCriterion,
+                      ModelCriterionCombined, NoneCriterion,
                       sample_negatives, stack_positives)
 from .prediction import PredictionNetwork
 from .seq_alignment import (beam_search, beam_search_py, collapse_label_chain,

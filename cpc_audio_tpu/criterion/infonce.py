@@ -75,6 +75,20 @@ def stack_positives(encoded_data: jax.Array, n_predicts: int,
     return pos.reshape(B, K, window_size, C).transpose(1, 0, 2, 3)
 
 
+class ModelCriterionCombined(nn.Module):
+    """Model + criterion fusion wrapper (criterion.py:358-367; unused by the
+    reference trainer but part of its public surface)."""
+
+    model: nn.Module
+    criterion: nn.Module
+
+    @nn.compact
+    def __call__(self, data, label, train: bool = False):
+        c_feature, encoded_data, label, _ = self.model(data, label,
+                                                       train=train)
+        return self.criterion(c_feature, encoded_data, label, train=train)
+
+
 class CPCUnsupervisedCriterion(BaseCriterion):
     """K-step InfoNCE with within-batch negatives (criterion.py:139-257).
 
@@ -133,11 +147,13 @@ class CPCUnsupervisedCriterion(BaseCriterion):
 
         C = self.dim_output_encoder
         f32 = jnp.float32
-        # score = mean over channels of pred*candidate (criterion.py:116)
-        pos_score = jnp.einsum("kbwc,kbwc->kbw", preds.astype(f32),
-                               pos.astype(f32)) / C
-        neg_score = jnp.einsum("kbwc,bnwc->kbnw", preds.astype(f32),
-                               neg.astype(f32)) / C
+        # score = mean over channels of pred*candidate (criterion.py:116).
+        # Inputs stay in their compute dtype (bf16 halves the HBM traffic of
+        # the gathered negatives); the MXU accumulates in f32.
+        pos_score = jnp.einsum("kbwc,kbwc->kbw", preds, pos,
+                               preferred_element_type=f32) / C
+        neg_score = jnp.einsum("kbwc,bnwc->kbnw", preds, neg,
+                               preferred_element_type=f32) / C
 
         logits = jnp.concatenate([pos_score[:, :, None, :], neg_score],
                                  axis=2)                       # (K,B,1+N,W)
