@@ -44,25 +44,26 @@ class PhoneCriterion(BaseCriterion):
     on_encoder: bool = False
     n_layers: int = 1
 
-    @nn.compact
+    def setup(self):
+        self.classifiers = [Dense(self.n_phones, name=f"classifier{l}")
+                            for l in range(self.n_layers)]
+
+    def get_prediction(self, c_feature):
+        y = self.classifiers[0](c_feature)
+        for layer in self.classifiers[1:]:
+            y = layer(nn.relu(y))
+        return y
+
     def __call__(self, c_feature, encoded_data, label, train: bool = False):
         x = encoded_data if self.on_encoder else c_feature
-        y = Dense(self.n_phones, name="classifier0")(x)
-        for l in range(self.n_layers - 1):
-            y = Dense(self.n_phones, name=f"classifier{l + 1}")(nn.relu(y))
-        logits = y.astype(jnp.float32).reshape(-1, self.n_phones)
+        logits = self.get_prediction(x).astype(jnp.float32)
+        logits = logits.reshape(-1, self.n_phones)
         label = label.reshape(-1)
         lsm = jax.nn.log_softmax(logits, axis=-1)
         loss = -jnp.mean(jnp.take_along_axis(lsm, label[:, None], axis=1))
         acc = jnp.mean((jnp.argmax(logits, axis=1) == label)
                        .astype(jnp.float32))
         return loss.reshape(1), acc.reshape(1)
-
-    def get_prediction(self, c_feature):
-        y = Dense(self.n_phones, name="classifier0")(c_feature)
-        for l in range(self.n_layers - 1):
-            y = Dense(self.n_phones, name=f"classifier{l + 1}")(nn.relu(y))
-        return y
 
 
 class CTCPhoneCriterion(BaseCriterion):

@@ -59,6 +59,35 @@ def test_build_zerospeech_features(tmp_path, cpc_checkpoint):
     assert len(first) == 25  # time + 24 dims
 
 
+def test_build_features_with_phone_criterion(tmp_path, cpc_checkpoint):
+    """--addCriterion path: probe checkpoint -> phone posteriors."""
+    from cpc_audio_tpu.eval.linear_separability import main as probe_main
+    labeled = tmp_path / "labeled.txt"
+    labeled.write_text("4051-11218-0044\n")
+    val = tmp_path / "val.txt"
+    val.write_text("2911-12359-0007\n")
+    probe_out = str(tmp_path / "probe")
+    rc = probe_main([DB, str(labeled), str(val), cpc_checkpoint,
+                     "--pathPhone",
+                     os.path.join(REF_DATA, "phone_labels.txt"),
+                     "--pathCheckpoint", probe_out, "--n_epoch", "1",
+                     "--batchSizeGPU", "2", "--nGPU", "2",
+                     "--size_window", "3200", "--ignore_cache"])
+    assert rc == 0
+    ckpt = [f for f in os.listdir(probe_out) if f.endswith(".pt")][0]
+    from cpc_audio_tpu.eval.build_zerospeech_features import main
+    out = str(tmp_path / "posteriors")
+    rc = main([os.path.join(DB, "2911"), out,
+               os.path.join(probe_out, ckpt),
+               "--extension", ".flac", "--format", "npy",
+               "--addCriterion", "--maxSizeSeq", "32000"])
+    assert rc == 0
+    f = [f for f in os.listdir(out) if f.endswith(".npy")][0]
+    post = np.load(os.path.join(out, f))
+    assert post.shape[1] == 41  # phone posteriors
+    np.testing.assert_allclose(post.sum(axis=1), 1.0, atol=1e-4)
+
+
 def test_adjust_sample_rate(tmp_path):
     from cpc_audio_tpu.eval.adjust_sample_rate import main
     src = os.path.join(DB, "2911", "12359")
