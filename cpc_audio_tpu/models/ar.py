@@ -31,6 +31,21 @@ def _uniform_init(k: float):
     return init
 
 
+def use_pallas_rnn() -> bool:
+    """Fused Pallas recurrence on real TPUs; lax.scan elsewhere.
+    Override with CPC_PALLAS_RNN=0/1."""
+    import os
+    flag = os.environ.get("CPC_PALLAS_RNN", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class _RecurrentLayer(nn.Module):
     """One torch-layout recurrent layer scanned over time."""
 
@@ -56,7 +71,20 @@ class _RecurrentLayer(nn.Module):
 
         # One big MXU matmul for all timesteps.
         x_proj = x.reshape(B * T, C) @ w_ih.T + b_ih
-        x_proj = x_proj.reshape(B, T, ngates * H).swapaxes(0, 1)  # (T,B,G*H)
+        x_proj = x_proj.reshape(B, T, ngates * H)
+
+        # Fused Pallas recurrence on TPU: one kernel launch for the whole
+        # window instead of ~8 dispatched ops per timestep.
+        if self.mode in ("GRU", "LSTM") and use_pallas_rnn():
+            from ..ops.pallas.rnn import gru_scan_pallas, lstm_scan_pallas
+            if self.mode == "LSTM":
+                h0, c0 = h0
+                ys, hT, cT = lstm_scan_pallas(x_proj + b_hh, w_hh.T, h0, c0)
+                return ys, (hT, cT)
+            ys, hT = gru_scan_pallas(x_proj, w_hh.T, b_hh, h0)
+            return ys, hT
+
+        x_proj = x_proj.swapaxes(0, 1)  # (T, B, G*H)
 
         if self.mode == "GRU":
             def step(h, xp):

@@ -168,3 +168,37 @@ def test_mfcc_lfb_encoders(rng):
         y = enc.apply(params, x)
         assert y.ndim == 3 and y.shape[0] == 2 and y.shape[2] == 32
         assert np.isfinite(np.asarray(y)).all()
+
+
+def test_relpos_matches_reference_skew(rng):
+    """The static-gather relative-position term equals the reference's
+    zero-pad/reshape skew trick (transformers.py:42-47) after masking."""
+    import math
+    from cpc_audio_tpu.models.transformer import MultiHeadAttention
+
+    S, dm, h = 12, 16, 4
+    mha = MultiHeadAttention(S, dm, h, dropout=0.0, relpos=True)
+    x = jax.random.normal(rng, (2, S, dm))
+    params = mha.init(jax.random.PRNGKey(1), x)
+    got = np.asarray(mha.apply(params, x))
+
+    p = params["params"]
+
+    def lin(n, t):
+        return t @ np.asarray(p[n]["weight"]).T
+
+    xn = np.asarray(x)
+    dk = dm // h
+    q = lin("Wq", xn).reshape(2, S, h, dk).transpose(0, 2, 1, 3)
+    k = lin("Wk", xn).reshape(2, S, h, dk).transpose(0, 2, 1, 3)
+    v = lin("Wv", xn).reshape(2, S, h, dk).transpose(0, 2, 1, 3)
+    QK = q @ k.transpose(0, 1, 3, 2)
+    qp = q @ np.asarray(p["Krelpos"])
+    z = np.zeros((2, h, S, 1))
+    qp2 = np.concatenate([z, qp], axis=3).reshape(2, h, S + 1, S)[:, :, 1:, :]
+    A = (QK + qp2) / math.sqrt(dk) + np.triu(np.full((S, S), -np.inf), k=1)
+    A = np.exp(A - A.max(-1, keepdims=True))
+    A /= A.sum(-1, keepdims=True)
+    y = (A @ v).transpose(0, 2, 1, 3).reshape(2, S, dm)
+    expected = lin("Wo", y)
+    np.testing.assert_allclose(got, expected, atol=1e-5)

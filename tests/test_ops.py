@@ -58,3 +58,85 @@ def test_pallas_scoring_interpret_matches_reference():
     ref = reference_negative_scores(preds, z, idx)
     got = fused_negative_scores(preds, z, idx, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def _lstm_ref(xp, w_hh, h0, c0):
+    def step(carry, x):
+        h, c = carry
+        g = x + h @ w_hh.T
+        i, f, gg, o = jnp.split(g, 4, -1)
+        c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+        h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+        return (h2, c2), h2
+    (hT, cT), ys = jax.lax.scan(step, (h0, c0), xp.swapaxes(0, 1))
+    return ys.swapaxes(0, 1), hT, cT
+
+
+def _gru_ref(xp, w_hh, b_hh, h0):
+    def step(h, x):
+        gh = h @ w_hh.T + b_hh
+        xr, xz, xn = jnp.split(x, 3, -1)
+        hr, hz, hn = jnp.split(gh, 3, -1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h2 = (1 - z) * n + z * h
+        return h2, h2
+    hT, ys = jax.lax.scan(step, h0, xp.swapaxes(0, 1))
+    return ys.swapaxes(0, 1), hT
+
+
+def test_pallas_lstm_interpret_fwd_bwd():
+    from cpc_audio_tpu.ops.pallas.rnn import lstm_scan_pallas
+    rng = np.random.RandomState(0)
+    B, T, H = 3, 16, 8
+    w_hh = jnp.asarray(rng.randn(4 * H, H).astype(np.float32) * 0.3)
+    xp = jnp.asarray(rng.randn(B, T, 4 * H).astype(np.float32))
+    h0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.1)
+    ys_r, hT_r, cT_r = _lstm_ref(xp, w_hh, h0, c0)
+    ys_p, hT_p, cT_p = lstm_scan_pallas(xp, w_hh.T, h0, c0, True)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cT_p), np.asarray(cT_r),
+                               atol=1e-5)
+
+    def loss_ref(a):
+        ys, hT, cT = _lstm_ref(*a)
+        return (ys ** 2).sum() * 0.5 + hT.sum() + (cT ** 2).sum()
+
+    def loss_pal(a):
+        ys, hT, cT = lstm_scan_pallas(a[0], a[1].T, a[2], a[3], True)
+        return (ys ** 2).sum() * 0.5 + hT.sum() + (cT ** 2).sum()
+
+    args = (xp, w_hh, h0, c0)
+    for a, b in zip(jax.grad(loss_ref)(args), jax.grad(loss_pal)(args)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_pallas_gru_interpret_fwd_bwd():
+    from cpc_audio_tpu.ops.pallas.rnn import gru_scan_pallas
+    rng = np.random.RandomState(1)
+    B, T, H = 3, 16, 8
+    w_hh = jnp.asarray(rng.randn(3 * H, H).astype(np.float32) * 0.3)
+    b_hh = jnp.asarray(rng.randn(3 * H).astype(np.float32) * 0.1)
+    xp = jnp.asarray(rng.randn(B, T, 3 * H).astype(np.float32))
+    h0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.1)
+    ys_r, hT_r = _gru_ref(xp, w_hh, b_hh, h0)
+    ys_p, hT_p = gru_scan_pallas(xp, w_hh.T, b_hh, h0, True)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_r),
+                               atol=1e-5)
+
+    def loss_ref(a):
+        ys, hT = _gru_ref(*a)
+        return (ys ** 2).sum() * 0.5 + hT.sum()
+
+    def loss_pal(a):
+        ys, hT = gru_scan_pallas(a[0], a[1].T, a[2], a[3], True)
+        return (ys ** 2).sum() * 0.5 + hT.sum()
+
+    args = (xp, w_hh, b_hh, h0)
+    for a, b in zip(jax.grad(loss_ref)(args), jax.grad(loss_pal)(args)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-3)
