@@ -80,7 +80,7 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k1, k2 = 4, 24
+    k1, k2 = 4, 14
     t1 = timed(k1)
     t2 = timed(k2)
     step_time = max((t2 - t1) / (k2 - k1), 1e-9)

@@ -26,15 +26,18 @@ class ChannelNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        # x: (B, T, C); normalize over C.
-        mean = jnp.mean(x, axis=-1, keepdims=True)
+        # x: (B, T, C); normalize over C.  Statistics in f32 for stability;
+        # output and affine params in the input dtype (a bf16 pipeline must
+        # not silently promote back to f32).
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
         # torch.var default is unbiased (N-1 denominator): model.py:53
-        var = jnp.var(x, axis=-1, keepdims=True, ddof=1)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        var = jnp.var(xf, axis=-1, keepdims=True, ddof=1)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         if self.affine:
             w = self.param("weight", nn.initializers.ones, (self.num_features,))
             b = self.param("bias", nn.initializers.zeros, (self.num_features,))
-            y = y * w + b
+            y = y * w.astype(x.dtype) + b.astype(x.dtype)
         return y
 
 
@@ -52,13 +55,14 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: (B, T, C); normalize over T per (B, C).
-        mean = jnp.mean(x, axis=1, keepdims=True)
-        var = jnp.var(x, axis=1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.var(xf, axis=1, keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         if self.affine:
             w = self.param("weight", nn.initializers.ones, (self.num_features,))
             b = self.param("bias", nn.initializers.zeros, (self.num_features,))
-            y = y * w + b
+            y = y * w.astype(x.dtype) + b.astype(x.dtype)
         return y
 
 
