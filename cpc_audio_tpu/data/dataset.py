@@ -318,7 +318,18 @@ class AudioBatchData:
         self.seq_label = np.asarray(seq_label, np.int64)
         self.phone_labels = np.asarray(phone_labels, np.int64)
 
+    def reset_phone_labels(self, new_phone_labels: dict, step: int) -> None:
+        """Swap the phone-label dictionary (dataset.py:68-72)."""
+        self.phone_size = step
+        self.phone_step = self.size_window // step
+        self.phone_labels_dict = dict(new_phone_labels)
+        self.load_next_pack()
+
     # -- accessors ----------------------------------------------------------
+    def get_seq_names(self) -> List[str]:
+        """Absolute paths of the dataset's sequences (dataset.py:78-79)."""
+        return [p for _, p in self.seq_names]
+
     def get_n_speakers(self) -> int:
         return self.n_speakers
 
