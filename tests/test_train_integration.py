@@ -108,3 +108,46 @@ def test_supervised_phone_training(tmp_path):
         logs = json.load(f)
     assert np.mean(logs["locLoss_train"][-1]) \
         < np.mean(logs["locLoss_train"][0])
+
+
+def test_sequential_sampling_hidden_carry(tmp_path):
+    """samplingType=sequential trains with hidden state carried across
+    batches (reference keepHidden, feature_loader.py:150)."""
+    out = str(tmp_path / "ckpt_seq")
+    rc = _run_main(SMALL + ["--pathDB", DB, "--nEpoch", "2",
+                            "--save_step", "1", "--samplingType",
+                            "sequential", "--pathCheckpoint", out])
+    assert rc == 0
+    with open(os.path.join(out, "checkpoint_logs.json")) as f:
+        logs = json.load(f)
+    assert np.mean(logs["locLoss_train"][-1]) \
+        < np.mean(logs["locLoss_train"][0])
+
+
+def test_abx_cli_from_checkpoint(tmp_path):
+    """ABX CLI end-to-end on a synthetic .item file over the fixtures."""
+    out = str(tmp_path / "ckpt_abx")
+    rc = _run_main(SMALL + ["--pathDB", DB, "--nEpoch", "1",
+                            "--save_step", "1", "--pathCheckpoint", out])
+    assert rc == 0
+    # two phones, several segments per file, one speaker per file
+    item = tmp_path / "test.item"
+    lines = ["#file onset offset #phone prev next speaker"]
+    files = [("2911-12359-0007", "2911"), ("4051-11218-0044", "4051")]
+    for name, spk in files:
+        for i in range(3):
+            t0 = 0.3 + 0.5 * i
+            lines.append(f"{name} {t0:.2f} {t0+0.2:.2f} a x y {spk}")
+            lines.append(f"{name} {t0+0.25:.2f} {t0+0.45:.2f} b x y {spk}")
+    item.write_text("\n".join(lines) + "\n")
+    from cpc_audio_tpu.eval.abx_cli import main as abx_main
+    abx_out = str(tmp_path / "abx_out")
+    rc = abx_main(["from_checkpoint", os.path.join(out, "checkpoint_0.pt"),
+                   str(item), DB, "--file_extension", ".flac",
+                   "--max_size_seq", "32000", "--out", abx_out])
+    assert rc == 0
+    with open(os.path.join(abx_out, "ABX_scores.json")) as f:
+        scores = json.load(f)
+    assert "within" in scores
+    assert 0.0 <= scores["within"] <= 1.0
+    assert os.path.exists(os.path.join(abx_out, "ABX_args.json"))
