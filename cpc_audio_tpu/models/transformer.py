@@ -69,12 +69,11 @@ class MultiHeadAttention(nn.Module):
                             preferred_element_type=jnp.float32)
 
         if self.relpos:
-            # Shaw-style relative positions (transformers.py:23-26, 42-47).
-            # The reference's zero-pad/reshape skew trick is equivalent to a
-            # STATIC gather: out[i, j] = QP[i, S-1-(i-j)] for j <= i (the
-            # j > i cells land on the zero column / wrap and are masked by
-            # the causal mask anyway).  One fused gather replaces three
-            # materializing ops on the (B, h, S, S+1) tensor.
+            # Shaw-style relative positions with the zero-pad/reshape skew
+            # (transformers.py:23-26, 42-47).  NOTE: do NOT "optimize" this
+            # into a take_along_axis gather — XLA lowers large-index gathers
+            # on TPU catastrophically (measured 13x whole-step regression);
+            # the pad+reshape skew is pure layout work and nearly free.
             krel = self.param(
                 "Krelpos",
                 _torch_linear_init(dk),
@@ -82,17 +81,10 @@ class MultiHeadAttention(nn.Module):
             ).astype(q.dtype)
             qp = jnp.einsum("bhqd,dr->bhqr", q, krel,
                             preferred_element_type=jnp.float32)
-            i_idx = np.arange(S)[:, None]
-            j_idx = np.arange(S)[None, :]
-            skew_col = self.size_seq - 1 - (i_idx - j_idx)   # (S, S)
-            valid = (skew_col >= 0) & (skew_col < self.size_seq) \
-                & (j_idx <= i_idx)
-            skew_idx = jnp.asarray(np.clip(skew_col, 0, self.size_seq - 1))
-            rel = jnp.take_along_axis(
-                qp, jnp.broadcast_to(skew_idx[None, None], (B, h, S, S)),
-                axis=3)
-            logits = logits + jnp.where(jnp.asarray(valid)[None, None],
-                                        rel, 0.0)
+            z = jnp.zeros((B, h, S, 1), qp.dtype)
+            qp = jnp.concatenate([z, qp], axis=3)          # (B,h,S,S+1)
+            qp = qp.reshape(B, h, S + 1, S)[:, :, 1:, :]   # skew -> (B,h,S,S)
+            logits = logits + qp
 
         mask = jnp.tril(jnp.ones((S, S), bool))
         logits = logits / math.sqrt(dk)
