@@ -57,6 +57,7 @@ class CPCConfig:
     # reference semantics).
     compute_dtype: str = "float32"      # float32 | bfloat16 : activation dtype
     negative_sampling_scope: str = "device"  # device (reference per-shard) | global
+    negativeSamplingMode: str = "exact"  # exact (reference) | rolled (experimental)
 
     def replace(self, **kw) -> "CPCConfig":
         return dataclasses.replace(self, **kw)
@@ -135,6 +136,11 @@ def add_cpc_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--negative_sampling_scope", type=str,
                    default=d.negative_sampling_scope,
                    choices=["device", "global"])
+    g.add_argument("--negativeSamplingMode", type=str,
+                   default=d.negativeSamplingMode,
+                   choices=["exact", "rolled"],
+                   help="rolled: structured negatives (experimental; "
+                        "one offset per candidate)")
     return parser
 
 

@@ -51,7 +51,8 @@ def sample_negatives(key: jax.Array, encoded_data: jax.Array,
     """Within-batch negative sampling (criterion.py:174-201).
 
     encoded_data: (B, S, C).  Returns (B, N, W, C) negatives where
-    neg[b, n, w] = z[b', (w + u) % S] with b' ~ U[0,B), u ~ U[1,S).
+    neg[b, n, w] = z[b', (w + u) % S] with b' ~ U[0,B), u ~ U[1,S) drawn
+    independently per (b, n, w) — the reference's exact scheme.
     """
     B, S, C = encoded_data.shape
     k1, k2 = jax.random.split(key)
@@ -61,6 +62,32 @@ def sample_negatives(key: jax.Array, encoded_data: jax.Array,
     seq_idx = (seq_off + base) % S
     flat_idx = (batch_idx * S + seq_idx).reshape(-1)
     neg = jnp.take(encoded_data.reshape(B * S, C), flat_idx, axis=0)
+    return neg.reshape(B, n_negative, window_size, C)
+
+
+def sample_negatives_rolled(key: jax.Array, encoded_data: jax.Array,
+                            window_size: int, n_negative: int) -> jax.Array:
+    """Structured negative sampling: one (row, offset) pair per (b, n).
+
+    neg[b, n, w] = z[b', (u + w) % S] with b' ~ U[0,B), u ~ U[1,S) drawn
+    per (b, n) — each negative is a contiguous (mod-S) window of a random
+    batch row.  EXPERIMENTAL alternative semantics (negatives within one
+    candidate share a time offset); measured no faster than exact mode on
+    v5e (XLA lowers the slab gather's backward no better than the row
+    scatter), so `exact` remains the default and the recommendation.
+    """
+    B, S, C = encoded_data.shape
+    k1, k2 = jax.random.split(key)
+    batch_idx = jax.random.randint(k1, (B, n_negative), 0, B)
+    seq_off = jax.random.randint(k2, (B, n_negative), 1, S)
+    z2 = jnp.concatenate([encoded_data, encoded_data], axis=1)  # (B,2S,C)
+    flat = z2.reshape(B * 2 * S, C)
+    starts = (batch_idx * 2 * S + seq_off).reshape(-1)
+
+    def one(i0):
+        return jax.lax.dynamic_slice(flat, (i0, 0), (window_size, C))
+
+    neg = jax.vmap(one)(starts)
     return neg.reshape(B, n_negative, window_size, C)
 
 
@@ -107,6 +134,7 @@ class CPCUnsupervisedCriterion(BaseCriterion):
     speaker_embedding: int = 0
     n_speakers: int = 0
     size_input_seq: int = 128
+    sampling_mode: str = "exact"          # exact (reference) | rolled (fast)
 
     def setup(self):
         if self.mode not in (None, "reverse"):
@@ -134,8 +162,10 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         c = c_feature[:, :W]
 
         key = self.make_rng("sampling")
-        neg = sample_negatives(key, encoded_data, W,
-                               self.negative_sampling_ext)  # (B,N,W,C)
+        sampler = sample_negatives_rolled if self.sampling_mode == "rolled" \
+            else sample_negatives
+        neg = sampler(key, encoded_data, W,
+                      self.negative_sampling_ext)           # (B,N,W,C)
         pos = stack_positives(encoded_data, K, W)            # (K,B,W,C)
 
         if self.speaker_embedding > 0:

@@ -53,7 +53,8 @@ def get_criterion(config: CPCConfig, train_config: TrainConfig,
             dropout=config.dropout,
             speaker_embedding=config.speakerEmbedding,
             n_speakers=n_speakers,
-            size_input_seq=size_input_seq)
+            size_input_seq=size_input_seq,
+            sampling_mode=config.negativeSamplingMode)
     if train_config.pathPhone is not None:
         if not train_config.CTC:
             return PhoneCriterion(dim_features, n_phones, config.onEncoder,

@@ -226,3 +226,36 @@ def test_per_golden():
     ref_seq = [0, 1, 1, 2, 0, 2, 2]
     pred_seq = [1, 1, 2, 2, 0, 0]
     assert abs(get_seq_per(ref_seq, pred_seq) - 4.0 / 7) < 1e-8
+
+
+def test_sample_negatives_rolled_semantics(rng):
+    """Rolled negatives: each candidate is a contiguous mod-S window of a
+    real batch row, offset >= 1."""
+    from cpc_audio_tpu.criterion import sample_negatives_rolled
+    B, S, C, N, W = 4, 16, 8, 6, 10
+    z = jax.random.normal(rng, (B, S, C))
+    neg = sample_negatives_rolled(jax.random.PRNGKey(3), z, W, N)
+    assert neg.shape == (B, N, W, C)
+    zf = np.asarray(z)
+    negn = np.asarray(neg)
+    for b in range(B):
+        for n in range(N):
+            hits = [(b2, s) for b2 in range(B) for s in range(S)
+                    if np.allclose(zf[b2, s], negn[b, n, 0], atol=1e-6)]
+            assert hits, (b, n)
+            b2, s0 = hits[0]
+            for w in range(0, W, 3):
+                assert np.allclose(zf[b2, (s0 + w) % S], negn[b, n, w],
+                                   atol=1e-6)
+
+
+def test_infonce_rolled_mode(rng):
+    B, S, dim = 4, 16, 8
+    crit = _make_criterion(sampling_mode="rolled")
+    c = jax.random.normal(rng, (B, S, dim))
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, S, dim))
+    variables = crit.init({"params": rng, "sampling": jax.random.PRNGKey(2)},
+                          c, z, None)
+    losses, acc = crit.apply(variables, c, z, None,
+                             rngs={"sampling": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(losses)).all()
