@@ -228,3 +228,103 @@ def tree_shapes_match(a: Any, b: Any) -> bool:
     lb = jax.tree_util.tree_leaves(b)
     return (len(la) == len(lb)
             and all(np.shape(x) == np.shape(y) for x, y in zip(la, lb)))
+
+
+# ===========================================================================
+# Export: JAX params -> reference torch state dict
+# ===========================================================================
+
+def _t(x):
+    import torch
+    return torch.from_numpy(np.asarray(x, np.float32).copy())
+
+
+def export_encoder(params: dict, config: CPCConfig,
+                   batch_stats: Optional[dict] = None) -> Dict[str, Any]:
+    """CPCEncoder params -> gEncoder.* torch keys (inverse of
+    convert_encoder)."""
+    sd: Dict[str, Any] = {}
+    for i in range(5):
+        conv = params.get(f"conv{i}")
+        if conv is None:
+            continue
+        sd[f"conv{i}.weight"] = _t(np.transpose(conv["kernel"], (2, 1, 0)))
+        sd[f"conv{i}.bias"] = _t(conv["bias"])
+        norm = params.get(f"norm{i}")
+        if norm is None:
+            continue
+        if config.normMode == "batchNorm":
+            sd[f"batchNorm{i}.weight"] = _t(norm["scale"])
+            sd[f"batchNorm{i}.bias"] = _t(norm["bias"])
+            if batch_stats and f"norm{i}" in batch_stats:
+                sd[f"batchNorm{i}.running_mean"] = _t(
+                    batch_stats[f"norm{i}"]["mean"])
+                sd[f"batchNorm{i}.running_var"] = _t(
+                    batch_stats[f"norm{i}"]["var"])
+        elif config.normMode == "layerNorm":
+            sd[f"batchNorm{i}.weight"] = _t(
+                np.asarray(norm["weight"]).reshape(1, -1, 1))
+            sd[f"batchNorm{i}.bias"] = _t(
+                np.asarray(norm["bias"]).reshape(1, -1, 1))
+        elif config.normMode == "instanceNorm":
+            sd[f"batchNorm{i}.weight"] = _t(norm["weight"])
+            sd[f"batchNorm{i}.bias"] = _t(norm["bias"])
+    return sd
+
+
+def _export_transformer_layer(p: dict, prefix: str) -> Dict[str, Any]:
+    sd: Dict[str, Any] = {}
+    for w in ("Wq", "Wk", "Wv", "Wo"):
+        sd[f"{prefix}multihead.{w}.weight"] = _t(p["multihead"][w]["weight"])
+    if "Krelpos" in p["multihead"]:
+        sd[f"{prefix}multihead.Att.Krelpos"] = _t(p["multihead"]["Krelpos"])
+    for ln in ("ln_multihead", "ln_ffnetwork"):
+        sd[f"{prefix}{ln}.weight"] = _t(p[ln]["weight"])
+        sd[f"{prefix}{ln}.bias"] = _t(p[ln]["bias"])
+    for lin in ("lin1", "lin2"):
+        sd[f"{prefix}ffnetwork.{lin}.weight"] = _t(
+            p["ffnetwork"][lin]["weight"])
+        sd[f"{prefix}ffnetwork.{lin}.bias"] = _t(p["ffnetwork"][lin]["bias"])
+    return sd
+
+
+def export_ar(params: dict, config: CPCConfig) -> Dict[str, Any]:
+    if config.arMode == "no_ar" or not params:
+        return {}
+    sd: Dict[str, Any] = {}
+    if config.arMode == "transformer":
+        offset = 1 if config.abspos else 0
+        for i in range(config.nLevelsGRU):
+            sd.update(_export_transformer_layer(params[f"layer{i}"],
+                                                f"{i + offset}."))
+        return sd
+    for l in range(config.nLevelsGRU):
+        layer = params[f"layer{l}"]
+        for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            sd[f"baseNet.{name}_l{l}"] = _t(layer[name])
+    return sd
+
+
+def export_cpc_model(params: dict, config: CPCConfig,
+                     batch_stats: Optional[dict] = None) -> Dict[str, Any]:
+    """Our model params -> a state dict the reference's
+    ``CPCModel.load_state_dict`` accepts (keys gEncoder.* / gAR.*)."""
+    stats = (batch_stats or {}).get("gEncoder", {})
+    sd = {f"gEncoder.{k}": v
+          for k, v in export_encoder(params["gEncoder"], config,
+                                     stats).items()}
+    sd.update({f"gAR.{k}": v
+               for k, v in export_ar(params.get("gAR", {}), config).items()})
+    return sd
+
+
+def export_torch_checkpoint(params: dict, config: CPCConfig, path: str,
+                            criterion_params: Optional[dict] = None,
+                            batch_stats: Optional[dict] = None) -> None:
+    """Write a reference-format torch checkpoint (feature_loader.py:201-209
+    layout) loadable by the reference's loadModel."""
+    import torch
+    state = {"gEncoder": export_cpc_model(params, config, batch_stats),
+             "cpcCriterion": criterion_params or {},
+             "optimizer": {}, "best": {}}
+    torch.save(state, path)

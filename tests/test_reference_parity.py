@@ -145,3 +145,35 @@ def test_checkpoint_file_roundtrip_parity(ref_modules, tmp_path):
         c_ref, z_ref, _ = cpc(x, None)
     c, z, _, _ = model.apply(variables, jnp.asarray(x.numpy()), None)
     np.testing.assert_allclose(np.asarray(c), c_ref.numpy(), atol=5e-4)
+
+
+@pytest.mark.parametrize("ar_mode", ["GRU", "transformer"])
+def test_export_to_torch_roundtrip(ref_modules, ar_mode):
+    """Our params -> torch state dict -> loads into the REFERENCE model and
+    reproduces our forward."""
+    ref_model, ref_transformers = ref_modules
+    H = 16
+    cfg = CPCConfig(hiddenEncoder=H, hiddenGar=H, sizeWindow=3200,
+                    arMode=ar_mode, nLevelsGRU=1, normMode="layerNorm")
+    model = build_model(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(5)},
+                           jnp.zeros((1, 1, 3200)))
+    sd = convert.export_cpc_model(variables["params"], cfg)
+
+    enc = ref_model.CPCEncoder(sizeHidden=H, normMode="layerNorm")
+    if ar_mode == "transformer":
+        ar = ref_transformers.buildTransformerAR(H, 1, 3200 // 160, False)
+    else:
+        ar = ref_model.CPCAR(H, H, keepHidden=False, nLevelsGRU=1,
+                             mode="GRU")
+    cpc = ref_model.CPCModel(enc, ar)
+    missing, unexpected = cpc.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    cpc.eval()
+
+    x = torch.randn(1, 1, 3200)
+    with torch.no_grad():
+        c_ref, z_ref, _ = cpc(x, None)
+    c, z, _, _ = model.apply(variables, jnp.asarray(x.numpy()), None)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c), c_ref.numpy(), atol=5e-4)
