@@ -58,6 +58,7 @@ class CPCConfig:
     compute_dtype: str = "float32"      # float32 | bfloat16 : activation dtype
     negative_sampling_scope: str = "device"  # device (reference per-shard) | global
     negativeSamplingMode: str = "exact"  # exact (reference) | rolled (experimental)
+    stopGradNegatives: bool = False      # fast objective variant (see docs)
 
     def replace(self, **kw) -> "CPCConfig":
         return dataclasses.replace(self, **kw)
@@ -136,6 +137,9 @@ def add_cpc_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--negative_sampling_scope", type=str,
                    default=d.negative_sampling_scope,
                    choices=["device", "global"])
+    g.add_argument("--stopGradNegatives", action="store_true",
+                   help="No gradients through negative samples (2x faster "
+                        "steps; changes the objective — see PERFORMANCE.md)")
     g.add_argument("--negativeSamplingMode", type=str,
                    default=d.negativeSamplingMode,
                    choices=["exact", "rolled"],

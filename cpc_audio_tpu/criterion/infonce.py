@@ -134,7 +134,8 @@ class CPCUnsupervisedCriterion(BaseCriterion):
     speaker_embedding: int = 0
     n_speakers: int = 0
     size_input_seq: int = 128
-    sampling_mode: str = "exact"          # exact (reference) | rolled (fast)
+    sampling_mode: str = "exact"          # exact (reference) | rolled (experimental)
+    stop_grad_negatives: bool = False     # opt-in: no grads through negatives
 
     def setup(self):
         if self.mode not in (None, "reverse"):
@@ -166,6 +167,11 @@ class CPCUnsupervisedCriterion(BaseCriterion):
             else sample_negatives
         neg = sampler(key, encoded_data, W,
                       self.negative_sampling_ext)           # (B,N,W,C)
+        if self.stop_grad_negatives:
+            # Opt-in objective change: drops the repulsion gradient through
+            # negative encodings; kills the ~500k-row scatter-add in the
+            # backward (measured ~half the train step on v5e).
+            neg = jax.lax.stop_gradient(neg)
         pos = stack_positives(encoded_data, K, W)            # (K,B,W,C)
 
         if self.speaker_embedding > 0:

@@ -54,7 +54,8 @@ def get_criterion(config: CPCConfig, train_config: TrainConfig,
             speaker_embedding=config.speakerEmbedding,
             n_speakers=n_speakers,
             size_input_seq=size_input_seq,
-            sampling_mode=config.negativeSamplingMode)
+            sampling_mode=config.negativeSamplingMode,
+            stop_grad_negatives=config.stopGradNegatives)
     if train_config.pathPhone is not None:
         if not train_config.CTC:
             return PhoneCriterion(dim_features, n_phones, config.onEncoder,

@@ -259,3 +259,24 @@ def test_infonce_rolled_mode(rng):
     losses, acc = crit.apply(variables, c, z, None,
                              rngs={"sampling": jax.random.PRNGKey(3)})
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_infonce_stop_grad_negatives(rng):
+    """stop_grad_negatives must zero the negatives' gradient contribution
+    to z while keeping the positives' path alive."""
+    B, S, dim = 4, 16, 8
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, S, dim))
+    c = jax.random.normal(rng, (B, S, dim))
+    for sg in (False, True):
+        crit = _make_criterion(stop_grad_negatives=sg)
+        variables = crit.init(
+            {"params": rng, "sampling": jax.random.PRNGKey(2)}, c, z, None)
+
+        def loss(zz):
+            losses, _ = crit.apply(variables, c, zz, None,
+                                   rngs={"sampling": jax.random.PRNGKey(3)})
+            return losses.sum()
+
+        g = np.asarray(jax.grad(loss)(z))
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0  # positives path always contributes
