@@ -4,9 +4,10 @@ Lets parity evaluations load weights trained by the reference
 implementation (state-dict layout from /root/reference/cpc/model.py and
 criterion/criterion.py; checkpoint keys per feature_loader.py:201-209).
 
-All layouts were chosen at module-definition time to make this mapping
-mechanical: Dense/recurrent weights keep torch layout, conv kernels
-transpose (out,in,W) -> (W,in,out).
+The mapping is mechanical: conv kernels transpose (out,in,W) -> (W,in,out)
+and every linear/recurrent weight transposes to the (in, out) layout our
+layers use (contracting last-with-first runs 4.4x faster on v5e than the
+x @ w.T orientation — docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -80,12 +81,16 @@ def convert_encoder(sd: Dict[str, Any], config: CPCConfig
 
 def _convert_recurrent(sd: Dict[str, Any], prefix: str, n_layers: int
                        ) -> dict:
-    """torch nn.GRU/LSTM/RNN state -> stacked _RecurrentLayer params."""
+    """torch nn.GRU/LSTM/RNN state -> stacked _RecurrentLayer params.
+    Weights transpose to the (in, gates) layout (see models/ar.py)."""
     params: dict = {}
     for l in range(n_layers):
-        layer = {}
-        for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
-            layer[name] = _np(sd[f"{prefix}{name}_l{l}"])
+        layer = {
+            "weight_ih_t": _np(sd[f"{prefix}weight_ih_l{l}"]).T,
+            "weight_hh_t": _np(sd[f"{prefix}weight_hh_l{l}"]).T,
+            "bias_ih": _np(sd[f"{prefix}bias_ih_l{l}"]),
+            "bias_hh": _np(sd[f"{prefix}bias_hh_l{l}"]),
+        }
         params[f"layer{l}"] = layer
     return params
 
@@ -96,7 +101,7 @@ def _convert_transformer_layer(sd: Dict[str, Any], prefix: str) -> dict:
                  "ln_ffnetwork": {}}
     for w in ("Wq", "Wk", "Wv", "Wo"):
         out["multihead"][w] = {
-            "weight": _np(sd[f"{prefix}multihead.{w}.weight"])}
+            "kernel": _np(sd[f"{prefix}multihead.{w}.weight"]).T}
     krel = sd.get(f"{prefix}multihead.Att.Krelpos")
     if krel is not None:
         out["multihead"]["Krelpos"] = _np(krel)
@@ -105,7 +110,7 @@ def _convert_transformer_layer(sd: Dict[str, Any], prefix: str) -> dict:
                    "bias": _np(sd[f"{prefix}{ln}.bias"])}
     for lin in ("lin1", "lin2"):
         out["ffnetwork"][lin] = {
-            "weight": _np(sd[f"{prefix}ffnetwork.{lin}.weight"]),
+            "kernel": _np(sd[f"{prefix}ffnetwork.{lin}.weight"]).T,
             "bias": _np(sd[f"{prefix}ffnetwork.{lin}.bias"])}
     return out
 
@@ -163,12 +168,12 @@ def convert_prediction_network(sd: Dict[str, Any], config: CPCConfig) -> dict:
             return {"layer0": _convert_transformer_layer(h, "0.")}
     elif mode == "linear":
         def one(h):
-            return {"weight": _np(h["weight"])}
+            return {"kernel": _np(h["weight"]).T}
     elif mode == "ffd":
         def one(h):
-            return {"lin1": {"weight": _np(h["lin1.module.weight"]),
+            return {"lin1": {"kernel": _np(h["lin1.module.weight"]).T,
                              "bias": _np(h["lin1.module.bias"])},
-                    "lin2": {"weight": _np(h["lin2.module.weight"]),
+                    "lin2": {"kernel": _np(h["lin2.module.weight"]).T,
                              "bias": _np(h["lin2.module.bias"])}}
     elif mode and mode.startswith("conv"):
         def one(h):
@@ -176,8 +181,8 @@ def convert_prediction_network(sd: Dict[str, Any], config: CPCConfig) -> dict:
                                "bias": _np(h["module.module.bias"])}}
     elif mode in ("RNN", "LSTM"):
         def one(h):
-            return {"cell": {"weight_ih": _np(h["weight_ih_l0"]),
-                             "weight_hh": _np(h["weight_hh_l0"]),
+            return {"cell": {"weight_ih_t": _np(h["weight_ih_l0"]).T,
+                             "weight_hh_t": _np(h["weight_hh_l0"]).T,
                              "bias_ih": _np(h["bias_ih_l0"]),
                              "bias_hh": _np(h["bias_hh_l0"])}}
     else:
@@ -198,26 +203,27 @@ def convert_criterion(state_dict: Dict[str, Any], config: CPCConfig,
                 "embedding": _np(state_dict["speakerEmb.weight"])}
     elif kind == "speaker":
         params["linearSpeakerClassifier"] = {
-            "weight": _np(state_dict["linearSpeakerClassifier.weight"]),
+            "kernel": _np(state_dict["linearSpeakerClassifier.weight"]).T,
             "bias": _np(state_dict["linearSpeakerClassifier.bias"])}
     elif kind == "phone":
         if "PhoneCriterionClassifier.weight" in state_dict:
             params["classifier0"] = {
-                "weight": _np(state_dict["PhoneCriterionClassifier.weight"]),
+                "kernel": _np(
+                    state_dict["PhoneCriterionClassifier.weight"]).T,
                 "bias": _np(state_dict["PhoneCriterionClassifier.bias"])}
         else:  # sequential MLP: indices 0, 2, 4...
             i, l = 0, 0
             while f"PhoneCriterionClassifier.{i}.weight" in state_dict:
                 params[f"classifier{l}"] = {
-                    "weight": _np(
-                        state_dict[f"PhoneCriterionClassifier.{i}.weight"]),
+                    "kernel": _np(
+                        state_dict[f"PhoneCriterionClassifier.{i}.weight"]).T,
                     "bias": _np(
                         state_dict[f"PhoneCriterionClassifier.{i}.bias"])}
                 i += 2
                 l += 1
     elif kind == "ctc":
         params["PhoneCriterionClassifier"] = {
-            "weight": _np(state_dict["PhoneCriterionClassifier.weight"]),
+            "kernel": _np(state_dict["PhoneCriterionClassifier.weight"]).T,
             "bias": _np(state_dict["PhoneCriterionClassifier.bias"])}
     return params
 
@@ -275,7 +281,8 @@ def export_encoder(params: dict, config: CPCConfig,
 def _export_transformer_layer(p: dict, prefix: str) -> Dict[str, Any]:
     sd: Dict[str, Any] = {}
     for w in ("Wq", "Wk", "Wv", "Wo"):
-        sd[f"{prefix}multihead.{w}.weight"] = _t(p["multihead"][w]["weight"])
+        sd[f"{prefix}multihead.{w}.weight"] = _t(
+            np.asarray(p["multihead"][w]["kernel"]).T)
     if "Krelpos" in p["multihead"]:
         sd[f"{prefix}multihead.Att.Krelpos"] = _t(p["multihead"]["Krelpos"])
     for ln in ("ln_multihead", "ln_ffnetwork"):
@@ -283,7 +290,7 @@ def _export_transformer_layer(p: dict, prefix: str) -> Dict[str, Any]:
         sd[f"{prefix}{ln}.bias"] = _t(p[ln]["bias"])
     for lin in ("lin1", "lin2"):
         sd[f"{prefix}ffnetwork.{lin}.weight"] = _t(
-            p["ffnetwork"][lin]["weight"])
+            np.asarray(p["ffnetwork"][lin]["kernel"]).T)
         sd[f"{prefix}ffnetwork.{lin}.bias"] = _t(p["ffnetwork"][lin]["bias"])
     return sd
 
@@ -300,8 +307,10 @@ def export_ar(params: dict, config: CPCConfig) -> Dict[str, Any]:
         return sd
     for l in range(config.nLevelsGRU):
         layer = params[f"layer{l}"]
-        for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
-            sd[f"baseNet.{name}_l{l}"] = _t(layer[name])
+        sd[f"baseNet.weight_ih_l{l}"] = _t(np.asarray(layer["weight_ih_t"]).T)
+        sd[f"baseNet.weight_hh_l{l}"] = _t(np.asarray(layer["weight_hh_t"]).T)
+        sd[f"baseNet.bias_ih_l{l}"] = _t(layer["bias_ih"])
+        sd[f"baseNet.bias_hh_l{l}"] = _t(layer["bias_hh"])
     return sd
 
 

@@ -31,10 +31,11 @@ class EqualizedDense(nn.Module):
         def w_init(rng, shape):
             return jax.random.normal(rng, shape) / self.lr_mul
 
-        w = self.param("weight", w_init, (self.features, fan_in))
+        # (in, out) layout; converter transposes torch weights (see Dense).
+        w = self.param("kernel", w_init, (fan_in, self.features))
         if self.equalized:
             w = w * (math.sqrt(2.0 / fan_in) * self.lr_mul)
-        y = x @ w.astype(x.dtype).T
+        y = x @ w.astype(x.dtype)
         if self.use_bias:
             b_init = (nn.initializers.zeros if self.init_bias_to_zero
                       else nn.initializers.normal(1.0))

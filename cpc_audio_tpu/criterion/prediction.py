@@ -43,18 +43,20 @@ class _LinearHead(nn.Module):
         dout = self.dim_output_encoder
 
         def w_init(rng, shape):
+            # (in, out) layout (transpose of the torch weight; convert.py
+            # handles checkpoints).  Residual-style init for dout > din
+            # (criterion.py:90-95).
             if dout > dim_ar:
                 k1, k2 = jax.random.split(rng)
                 top = jax.random.normal(k1, (dim_ar, dim_ar))
                 bot = self.residual_std * jax.random.normal(
-                    k2, (dout - dim_ar, dim_ar))
-                return jnp.concatenate([top, bot], axis=0)
-            # torch default Linear init
+                    k2, (dim_ar, dout - dim_ar))
+                return jnp.concatenate([top, bot], axis=1)
             k = 1.0 / jnp.sqrt(jnp.asarray(float(dim_ar)))
             return jax.random.uniform(rng, shape, minval=-k, maxval=k)
 
-        w = self.param("weight", w_init, (dout, dim_ar))
-        return c @ w.astype(c.dtype).T
+        w = self.param("kernel", w_init, (dim_ar, dout))
+        return c @ w.astype(c.dtype)
 
 
 class _FFDHead(nn.Module):

@@ -59,18 +59,21 @@ class _RecurrentLayer(nn.Module):
         ngates = {"GRU": 3, "LSTM": 4, "RNN": 1}[self.mode]
         k = 1.0 / math.sqrt(H)
         init = _uniform_init(k)
-        # torch layouts: weight_ih (ngates*H, C), weight_hh (ngates*H, H)
-        w_ih = self.param("weight_ih", init, (ngates * H, C))
-        w_hh = self.param("weight_hh", init, (ngates * H, H))
+        # Kernels stored TRANSPOSED vs torch ((C, G*H) / (H, G*H)) so every
+        # matmul contracts last-dim-with-first-dim — 4.4x faster on v5e
+        # than the x @ w.T orientation (docs/PERFORMANCE.md).  convert.py
+        # transposes torch checkpoints on load.
+        w_ih_t = self.param("weight_ih_t", init, (C, ngates * H))
+        w_hh_t = self.param("weight_hh_t", init, (H, ngates * H))
         b_ih = self.param("bias_ih", init, (ngates * H,))
         b_hh = self.param("bias_hh", init, (ngates * H,))
 
         dtype = x.dtype
-        w_ih, w_hh = w_ih.astype(dtype), w_hh.astype(dtype)
+        w_ih_t, w_hh_t = w_ih_t.astype(dtype), w_hh_t.astype(dtype)
         b_ih, b_hh = b_ih.astype(dtype), b_hh.astype(dtype)
 
         # One big MXU matmul for all timesteps.
-        x_proj = x.reshape(B * T, C) @ w_ih.T + b_ih
+        x_proj = x.reshape(B * T, C) @ w_ih_t + b_ih
         x_proj = x_proj.reshape(B, T, ngates * H)
 
         # Fused Pallas recurrence on TPU: one kernel launch for the whole
@@ -79,16 +82,16 @@ class _RecurrentLayer(nn.Module):
             from ..ops.pallas.rnn import gru_scan_pallas, lstm_scan_pallas
             if self.mode == "LSTM":
                 h0, c0 = h0
-                ys, hT, cT = lstm_scan_pallas(x_proj + b_hh, w_hh.T, h0, c0)
+                ys, hT, cT = lstm_scan_pallas(x_proj + b_hh, w_hh_t, h0, c0)
                 return ys, (hT, cT)
-            ys, hT = gru_scan_pallas(x_proj, w_hh.T, b_hh, h0)
+            ys, hT = gru_scan_pallas(x_proj, w_hh_t, b_hh, h0)
             return ys, hT
 
         x_proj = x_proj.swapaxes(0, 1)  # (T, B, G*H)
 
         if self.mode == "GRU":
             def step(h, xp):
-                hp = h @ w_hh.T + b_hh
+                hp = h @ w_hh_t + b_hh
                 xr, xz, xn = jnp.split(xp, 3, axis=-1)
                 hr, hz, hn = jnp.split(hp, 3, axis=-1)
                 r = jax.nn.sigmoid(xr + hr)
@@ -100,7 +103,7 @@ class _RecurrentLayer(nn.Module):
         elif self.mode == "LSTM":
             def step(carry, xp):
                 h, c = carry
-                hp = h @ w_hh.T + b_hh
+                hp = h @ w_hh_t + b_hh
                 g = xp + hp
                 i, f, gg, o = jnp.split(g, 4, axis=-1)
                 i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
@@ -110,7 +113,7 @@ class _RecurrentLayer(nn.Module):
             hT, ys = jax.lax.scan(step, h0, x_proj)
         else:  # RNN (tanh)
             def step(h, xp):
-                h_new = jnp.tanh(xp + h @ w_hh.T + b_hh)
+                h_new = jnp.tanh(xp + h @ w_hh_t + b_hh)
                 return h_new, h_new
             hT, ys = jax.lax.scan(step, h0, x_proj)
         return ys.swapaxes(0, 1), hT  # (B, T, H), final hidden

@@ -27,7 +27,13 @@ def _torch_linear_init(fan_in: int):
 
 
 class Dense(nn.Module):
-    """Linear layer with torch layout (weight (out, in)) and init."""
+    """Linear layer, torch init, (in, out) kernel layout.
+
+    The kernel is stored TRANSPOSED relative to torch's (out, in) weight:
+    contracting x's last dim with the kernel's FIRST dim measured 4.4x
+    faster on v5e than the x @ w.T orientation (docs/PERFORMANCE.md), so
+    the transpose lives in convert.py, not in the compute path.
+    """
 
     features: int
     use_bias: bool = True
@@ -36,8 +42,8 @@ class Dense(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         fan_in = x.shape[-1]
         init = _torch_linear_init(fan_in)
-        w = self.param("weight", init, (self.features, fan_in))
-        y = x @ w.astype(x.dtype).T
+        w = self.param("kernel", init, (fan_in, self.features))
+        y = x @ w.astype(x.dtype)
         if self.use_bias:
             b = self.param("bias", init, (self.features,))
             y = y + b.astype(x.dtype)

@@ -85,9 +85,9 @@ def test_infonce_perfect_predictor_low_loss(rng):
     variables = crit.init({"params": rng, "sampling": jax.random.PRNGKey(0)},
                           c, z, None)
     params = jax.tree_util.tree_map(lambda x: x, variables["params"])
-    w = params["wPrediction"]["heads"]["weight"]
+    w = params["wPrediction"]["heads"]["kernel"]
     eye = jnp.broadcast_to(jnp.eye(dim)[None], w.shape)
-    params["wPrediction"]["heads"]["weight"] = eye
+    params["wPrediction"]["heads"]["kernel"] = eye
     losses, acc = crit.apply({"params": params}, c, z, None,
                              rngs={"sampling": jax.random.PRNGKey(5)})
     chance = np.log(N + 1)

@@ -77,7 +77,8 @@ def test_gru_golden_manual(rng):
     x = jax.random.normal(rng, (1, 1, 3))
     params = ar.init(rng, x)
     p = params["params"]["layer0"]
-    w_ih, w_hh = np.asarray(p["weight_ih"]), np.asarray(p["weight_hh"])
+    w_ih = np.asarray(p["weight_ih_t"]).T
+    w_hh = np.asarray(p["weight_hh_t"]).T
     b_ih, b_hh = np.asarray(p["bias_ih"]), np.asarray(p["bias_hh"])
     xv = np.asarray(x)[0, 0]
     h = np.zeros(4)
@@ -185,7 +186,7 @@ def test_relpos_matches_reference_skew(rng):
     p = params["params"]
 
     def lin(n, t):
-        return t @ np.asarray(p[n]["weight"]).T
+        return t @ np.asarray(p[n]["kernel"])
 
     xn = np.asarray(x)
     dk = dm // h
