@@ -59,10 +59,10 @@ class _RecurrentLayer(nn.Module):
         ngates = {"GRU": 3, "LSTM": 4, "RNN": 1}[self.mode]
         k = 1.0 / math.sqrt(H)
         init = _uniform_init(k)
-        # Kernels stored TRANSPOSED vs torch ((C, G*H) / (H, G*H)) so every
-        # matmul contracts last-dim-with-first-dim — 4.4x faster on v5e
-        # than the x @ w.T orientation (docs/PERFORMANCE.md).  convert.py
-        # transposes torch checkpoints on load.
+        # Kernels stored TRANSPOSED vs torch ((C, G*H) / (H, G*H)) so the
+        # forward matmuls contract last-dim-with-first-dim — 4.4x faster on
+        # v5e than x @ w.T (docs/PERFORMANCE.md; inference-path win).
+        # convert.py transposes torch checkpoints on load.
         w_ih_t = self.param("weight_ih_t", init, (C, ngates * H))
         w_hh_t = self.param("weight_hh_t", init, (H, ngates * H))
         b_ih = self.param("bias_ih", init, (ngates * H,))

@@ -30,9 +30,11 @@ class Dense(nn.Module):
     """Linear layer, torch init, (in, out) kernel layout.
 
     The kernel is stored TRANSPOSED relative to torch's (out, in) weight:
-    contracting x's last dim with the kernel's FIRST dim measured 4.4x
-    faster on v5e than the x @ w.T orientation (docs/PERFORMANCE.md), so
-    the transpose lives in convert.py, not in the compute path.
+    the forward contraction (x's last dim with the kernel's FIRST dim)
+    measured 4.4x faster on v5e than x @ w.T (docs/PERFORMANCE.md) — a pure
+    win for inference/feature extraction; training is neutral since the
+    backward necessarily contains the opposite orientation.  The transpose
+    lives in convert.py, not in the compute path.
     """
 
     features: int
