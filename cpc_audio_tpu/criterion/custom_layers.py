@@ -8,7 +8,6 @@ constant sqrt(2/fan_in) * lr_mul; biases start at zero.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import flax.linen as nn
 import jax

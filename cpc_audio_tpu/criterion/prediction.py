@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.ar import _RecurrentLayer
-from ..models.transformer import Dense, TransformerLayer
+from ..models.transformer import TransformerLayer
 from .custom_layers import EqualizedConv1d, EqualizedDense
 
 VALID_HEADS = ("transformer", "RNN", "LSTM", "linear", "ffd",

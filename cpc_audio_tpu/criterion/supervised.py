@@ -5,7 +5,6 @@ Reference: /root/reference/cpc/criterion/criterion.py:260-355.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,6 @@ from __future__ import annotations
 import json
 import os
 import random
-import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 

@@ -22,7 +22,6 @@ import math
 import os
 import random
 import sys
-import time
 from typing import List, Optional, Tuple
 
 import flax.linen as nn

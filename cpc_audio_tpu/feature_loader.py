@@ -16,7 +16,7 @@ Functional differences by design:
 from __future__ import annotations
 
 import os
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ from . import checkpoint as ckpt
 from . import convert
 from .config import CPCConfig
 from .data.audio_io import decode_file
-from .models import CPCModel, ConcatenatedModel, build_model
+from .models import ConcatenatedModel, build_model
 
 
 # ---------------------------------------------------------------------------

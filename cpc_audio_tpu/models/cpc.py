@@ -11,7 +11,7 @@ emits (B, S, C), unlike model.py:287).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..config import CPCConfig
 from .ar import CPCAR, NoAr
-from .encoder import CPCEncoder, LFBEncoder, MFCCEncoder, get_encoder
+from .encoder import get_encoder
 from .transformer import TransformerAR
 
 

@@ -13,7 +13,7 @@ LFBEnconder (model.py:125-152).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,6 @@ batch-folding so the QK/AV contractions hit the MXU at full tile width.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import flax.linen as nn
 import jax

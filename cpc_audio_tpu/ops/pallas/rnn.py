@@ -19,7 +19,6 @@ against the lax.scan path in tests.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ the fusion blueprint until Mosaic grows a general dynamic-gather.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

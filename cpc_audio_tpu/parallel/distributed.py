@@ -9,7 +9,6 @@ host's data loader reads only its shard of the file list.
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional, Sequence, Tuple, TypeVar
 
 import jax

@@ -20,8 +20,7 @@ Parity notes:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import random
 import sys
 import time
 from copy import deepcopy
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -6,7 +6,6 @@ Reference: /root/reference/cpc/utils/misc.py:15-121.
 from __future__ import annotations
 
 import json
-import os
 import random
 import sys
 from copy import deepcopy
