@@ -177,3 +177,28 @@ def test_export_to_torch_roundtrip(ref_modules, ar_mode):
     c, z, _, _ = model.apply(variables, jnp.asarray(x.numpy()), None)
     np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(c), c_ref.numpy(), atol=5e-4)
+
+
+def test_hub_pretrained_from_local_torch_checkpoint(ref_modules, tmp_path):
+    """hub.cpc_audio(pretrained=True) loads a 60k-style torch checkpoint
+    ({'weights', 'config'} layout, hubconf.py:23-35)."""
+    ref_model, _ = ref_modules
+    torch.manual_seed(7)
+    H = 16
+    enc = ref_model.CPCEncoder(sizeHidden=H, normMode="layerNorm")
+    ar = ref_model.CPCAR(H, H, keepHidden=False, nLevelsGRU=1, mode="GRU")
+    cpc = ref_model.CPCModel(enc, ar)
+    cpc.eval()
+    cfg = {"hiddenEncoder": H, "hiddenGar": H, "sizeWindow": 3200,
+           "arMode": "GRU", "nLevelsGRU": 1, "normMode": "layerNorm"}
+    path = str(tmp_path / "60k_style.pt")
+    torch.save({"weights": cpc.state_dict(), "config": cfg}, path)
+
+    from cpc_audio_tpu.hub import cpc_audio
+    model, variables = cpc_audio(pretrained=True, checkpoint_path=path)
+    assert model.config.hiddenEncoder == H
+    x = torch.randn(1, 1, 3200)
+    with torch.no_grad():
+        c_ref, _, _ = cpc(x, None)
+    c, z, _, _ = model.apply(variables, jnp.asarray(x.numpy()), None)
+    np.testing.assert_allclose(np.asarray(c), c_ref.numpy(), atol=5e-4)

@@ -151,3 +151,19 @@ def test_abx_cli_from_checkpoint(tmp_path):
     assert "within" in scores
     assert 0.0 <= scores["within"] <= 1.0
     assert os.path.exists(os.path.join(abx_out, "ABX_args.json"))
+
+
+def test_restart_flag_ignores_checkpoint(tmp_path):
+    """--restart starts from scratch even with checkpoints present
+    (reference train.py:449-451)."""
+    out = str(tmp_path / "ckpt_restart")
+    rc = _run_main(SMALL + ["--pathDB", DB, "--nEpoch", "1",
+                            "--save_step", "1", "--pathCheckpoint", out])
+    assert rc == 0
+    rc = _run_main(SMALL + ["--pathDB", DB, "--nEpoch", "1",
+                            "--save_step", "1", "--restart",
+                            "--pathCheckpoint", out])
+    assert rc == 0
+    with open(os.path.join(out, "checkpoint_logs.json")) as f:
+        logs = json.load(f)
+    assert logs["epoch"] == [0]  # fresh run, not resumed to epoch 2
