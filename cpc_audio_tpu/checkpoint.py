@@ -24,7 +24,8 @@ import numpy as np
 
 from .config import CPCConfig, TrainConfig
 
-FORMAT_VERSION = 1
+# v2: linear/recurrent kernels stored (in, out) — see docs/PERFORMANCE.md
+FORMAT_VERSION = 2
 
 # resume must not override run-control attrs (train.py:236-240).
 # Deviation: nEpoch is also exempt so a finished run can be extended with a

@@ -42,6 +42,12 @@ def _load_single(path: str) -> Tuple[CPCConfig, dict, Any, Any]:
     _, _, config, raw_args = data
     blob = ckpt.load_checkpoint(path)
     if blob.get("format") == "cpc_audio_tpu":
+        if blob.get("version", 1) < ckpt.FORMAT_VERSION:
+            raise ValueError(
+                f"{path} uses checkpoint format v{blob.get('version', 1)} "
+                f"(pre-transposed-kernel layout); this build reads "
+                f"v{ckpt.FORMAT_VERSION}. Re-train or re-export the "
+                f"checkpoint.")
         params = blob["gEncoder"]
         batch_stats = blob.get("batch_stats") or {}
         batch_stats = batch_stats.get("model", batch_stats)
@@ -128,6 +134,10 @@ def load_state_into(state, path: str, config: CPCConfig,
     params = dict(state.params)
     batch_stats = state.batch_stats
     if blob.get("format") == "cpc_audio_tpu":
+        if blob.get("version", 1) < ckpt.FORMAT_VERSION:
+            raise ValueError(
+                f"{path} uses checkpoint format v{blob.get('version', 1)}; "
+                f"this build reads v{ckpt.FORMAT_VERSION}.")
         model_params = blob["gEncoder"]
         if not convert.tree_shapes_match(model_params, state.params["model"]):
             raise ValueError(f"checkpoint {path} does not match the model")
@@ -217,7 +227,9 @@ class FeatureModule:
             self.hidden = h
         if self.collapse:
             features = features.reshape(-1, features.shape[-1])
-        return features
+        # public feature API is always f32 (bf16 ml_dtypes arrays break
+        # downstream numpy consumers), matching the reference contract
+        return features.astype(jnp.float32)
 
 
 class ModelPhoneCombined:

@@ -77,8 +77,11 @@ class _RecurrentLayer(nn.Module):
         x_proj = x_proj.reshape(B, T, ngates * H)
 
         # Fused Pallas recurrence on TPU: one kernel launch for the whole
-        # window instead of ~8 dispatched ops per timestep.
-        if self.mode in ("GRU", "LSTM") and use_pallas_rnn():
+        # window instead of ~8 dispatched ops per timestep.  Falls back to
+        # lax.scan when T has no Mosaic-tileable chunking.
+        from ..ops.pallas.rnn import pallas_rnn_supported
+        if self.mode in ("GRU", "LSTM") and use_pallas_rnn() \
+                and pallas_rnn_supported(T):
             from ..ops.pallas.rnn import gru_scan_pallas, lstm_scan_pallas
             if self.mode == "LSTM":
                 h0, c0 = h0

@@ -26,11 +26,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_chunk(T: int, max_chunk: int = 16) -> int:
-    for tc in range(min(max_chunk, T), 0, -1):
-        if T % tc == 0:
+def _pick_chunk(T: int, max_chunk: int = 32) -> int:
+    """Timestep chunk satisfying Mosaic's block constraint: the block's
+    second-to-last dim (TC) must be a multiple of 8 OR equal the full T.
+    Returns 0 when no valid tiling exists (callers fall back to lax.scan).
+    """
+    for tc in range(min(max_chunk, T), 7, -1):
+        if tc % 8 == 0 and T % tc == 0:
             return tc
-    return 1
+    if T <= 64:  # single block covers the whole sequence
+        return T
+    return 0
+
+
+def pallas_rnn_supported(T: int) -> bool:
+    return _pick_chunk(T) > 0
 
 
 def _sigmoid(x):
