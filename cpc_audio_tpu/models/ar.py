@@ -81,7 +81,7 @@ class _RecurrentLayer(nn.Module):
         # lax.scan when T has no Mosaic-tileable chunking.
         from ..ops.pallas.rnn import pallas_rnn_supported
         if self.mode in ("GRU", "LSTM") and use_pallas_rnn() \
-                and pallas_rnn_supported(T):
+                and pallas_rnn_supported(T, B, ngates * H, H):
             from ..ops.pallas.rnn import gru_scan_pallas, lstm_scan_pallas
             if self.mode == "LSTM":
                 h0, c0 = h0

@@ -26,21 +26,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_chunk(T: int, max_chunk: int = 32) -> int:
+def _vmem_chunk_cap(B: int, G: int, H: int) -> int:
+    """Max timesteps per block keeping the kernel's double-buffered VMEM
+    footprint (~12 bytes per (b, t) element of gate width + hidden width)
+    under the 16 MB budget with headroom for weights and scratch."""
+    bytes_per_tc = 12 * B * (G + H)
+    return max(8, int(14e6) // max(bytes_per_tc, 1))
+
+
+def _pick_chunk(T: int, B: int = 32, G: int = 1024, H: int = 256) -> int:
     """Timestep chunk satisfying Mosaic's block constraint: the block's
-    second-to-last dim (TC) must be a multiple of 8 OR equal the full T.
-    Returns 0 when no valid tiling exists (callers fall back to lax.scan).
-    """
-    for tc in range(min(max_chunk, T), 7, -1):
+    second-to-last dim (TC) must be a multiple of 8 OR equal the full T —
+    and the VMEM budget.  Returns 0 when no valid tiling exists (callers
+    fall back to lax.scan)."""
+    cap = _vmem_chunk_cap(B, G, H)
+    for tc in range(min(cap, T), 7, -1):
         if tc % 8 == 0 and T % tc == 0:
             return tc
-    if T <= 64:  # single block covers the whole sequence
+    if T <= min(64, cap):  # single block covers the whole sequence
         return T
     return 0
 
 
-def pallas_rnn_supported(T: int) -> bool:
-    return _pick_chunk(T) > 0
+def pallas_rnn_supported(T: int, B: int = 32, G: int = 1024,
+                         H: int = 256) -> bool:
+    return _pick_chunk(T, B, G, H) > 0
 
 
 def _sigmoid(x):
@@ -124,7 +134,7 @@ def _lstm_bwd_kernel(g_ref, cprev_ref, dys_ref, w_ref, dhT_ref, dcT_ref,
 def _lstm_pallas_fwd_impl(x_proj, w_hh_t, h0, c0, interpret=False):
     B, T, G = x_proj.shape
     H = G // 4
-    TC = _pick_chunk(T)
+    TC = _pick_chunk(T, B, G, H)
     n_chunks = T // TC
     dtype = x_proj.dtype
     ys, cs, gates = pl.pallas_call(
@@ -176,7 +186,7 @@ def _lstm_bwd(interpret, res, grads):
     dys, dhT, dcT = grads
     B, T, H = ys.shape
     G = 4 * H
-    TC = _pick_chunk(T)
+    TC = _pick_chunk(T, B, G, H)
     n_chunks = T // TC
     c_prev = jnp.concatenate(
         [c0[:, None].astype(cs.dtype), cs[:, :-1]], axis=1)
@@ -286,7 +296,7 @@ def _gru_bwd_kernel(g_ref, ghn_ref, hprev_ref, dys_ref, w_ref, dhT_ref,
 def _gru_pallas_fwd_impl(x_proj, w_hh_t, b_hh, h0, interpret=False):
     B, T, G = x_proj.shape
     H = G // 3
-    TC = _pick_chunk(T)
+    TC = _pick_chunk(T, B, G, H)
     n_chunks = T // TC
     ys, gates, ghn = pl.pallas_call(
         _gru_fwd_kernel,
@@ -337,7 +347,7 @@ def _gru_bwd(interpret, res, grads):
     dys, dhT = grads
     B, T, H = ys.shape
     G = 3 * H
-    TC = _pick_chunk(T)
+    TC = _pick_chunk(T, B, G, H)
     n_chunks = T // TC
     h_prev = jnp.concatenate(
         [h0[:, None].astype(ys.dtype), ys[:, :-1]], axis=1)
