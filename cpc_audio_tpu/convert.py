@@ -120,13 +120,15 @@ def convert_ar(sd: Dict[str, Any], config: CPCConfig) -> dict:
     if config.arMode == "no_ar":
         return {}
     if config.arMode == "transformer":
-        # nn.Sequential: optional StaticPositionEmbedding at 0 shifts layers
+        # nn.Sequential: optional StaticPositionEmbedding at 0 shifts layers.
+        # Layer count is inferred from the state dict, not nLevelsGRU —
+        # reference checkpoints always have exactly 1 transformer layer
+        # (getAR, feature_loader.py:139-141).
         offset = 1 if config.abspos else 0
-        params = {}
-        for i in range(config.nLevelsGRU):
-            params[f"layer{i}"] = _convert_transformer_layer(
-                sd, f"{i + offset}.")
-        return params
+        n_layers = len({k.split(".")[0] for k in sd
+                        if k.split(".")[0].isdigit()}) - offset
+        return {f"layer{i}": _convert_transformer_layer(sd, f"{i + offset}.")
+                for i in range(n_layers)}
     return _convert_recurrent(sd, "baseNet.", config.nLevelsGRU)
 
 
@@ -301,9 +303,10 @@ def export_ar(params: dict, config: CPCConfig) -> Dict[str, Any]:
     sd: Dict[str, Any] = {}
     if config.arMode == "transformer":
         offset = 1 if config.abspos else 0
-        for i in range(config.nLevelsGRU):
-            sd.update(_export_transformer_layer(params[f"layer{i}"],
-                                                f"{i + offset}."))
+        layers = sorted((k for k in params if k.startswith("layer")),
+                        key=lambda k: int(k[5:]))
+        for i, k in enumerate(layers):
+            sd.update(_export_transformer_layer(params[k], f"{i + offset}."))
         return sd
     for l in range(config.nLevelsGRU):
         layer = params[f"layer{l}"]

@@ -1,8 +1,11 @@
 """Equalized-learning-rate layers (StyleGAN-style).
 
 Reference: /root/reference/cpc/criterion/custom_layers.py:44-151.
-Weights are initialized N(0,1)/lr_mul and rescaled at runtime by the He
-constant sqrt(2/fan_in) * lr_mul; biases start at zero.
+Weights are initialized N(0,1) and the He constant sqrt(2/fan_in) * lr_mul
+is applied at runtime to the WHOLE module output — bias included:
+y = (x @ W + b) * c, matching ConstrainedLayer.forward (custom_layers.py:73-77)
+which scales after nn.Linear/nn.Conv1d (so converted reference checkpoints
+reproduce activations exactly). Biases start at zero.
 """
 
 from __future__ import annotations
@@ -27,19 +30,17 @@ class EqualizedDense(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         fan_in = x.shape[-1]
 
-        def w_init(rng, shape):
-            return jax.random.normal(rng, shape) / self.lr_mul
-
         # (in, out) layout; converter transposes torch weights (see Dense).
-        w = self.param("kernel", w_init, (fan_in, self.features))
-        if self.equalized:
-            w = w * (math.sqrt(2.0 / fan_in) * self.lr_mul)
+        w = self.param("kernel", nn.initializers.normal(1.0),
+                       (fan_in, self.features))
         y = x @ w.astype(x.dtype)
         if self.use_bias:
             b_init = (nn.initializers.zeros if self.init_bias_to_zero
                       else nn.initializers.normal(1.0))
             b = self.param("bias", b_init, (self.features,))
             y = y + b.astype(x.dtype)
+        if self.equalized:
+            y = y * (math.sqrt(2.0 / fan_in) * self.lr_mul)
         return y
 
 
@@ -63,13 +64,8 @@ class EqualizedConv1d(nn.Module):
         in_features = x.shape[-1]
         fan_in = in_features * self.kernel_size
 
-        def w_init(rng, shape):
-            return jax.random.normal(rng, shape) / self.lr_mul
-
-        w = self.param("weight", w_init,
+        w = self.param("weight", nn.initializers.normal(1.0),
                        (self.features, in_features, self.kernel_size))
-        if self.equalized:
-            w = w * (math.sqrt(2.0 / fan_in) * self.lr_mul)
         kernel = jnp.transpose(w, (2, 1, 0))  # -> WIO
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype), window_strides=(self.stride,),
@@ -78,4 +74,6 @@ class EqualizedConv1d(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(x.dtype)
+        if self.equalized:
+            y = y * (math.sqrt(2.0 / fan_in) * self.lr_mul)
         return y

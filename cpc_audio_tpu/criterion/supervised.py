@@ -92,6 +92,10 @@ class CTCPhoneCriterion(BaseCriterion):
         logit_pad = jnp.zeros((B, S), jnp.float32)
         loss = optax.ctc_loss(logits, logit_pad, targets, target_pad,
                               blank_id=self.n_phones)
+        # torch nn.CTCLoss(reduction='mean') divides each sequence's loss by
+        # its target length before averaging (criterion.py:328).
+        sizes = jnp.sum(1.0 - target_pad, axis=1)
+        loss = loss / jnp.maximum(sizes, 1.0)
         # zero_infinity=True parity (criterion.py:328)
         loss = jnp.where(jnp.isfinite(loss), loss, 0.0)
         return jnp.mean(loss).reshape(1), jnp.zeros((1,), jnp.float32)

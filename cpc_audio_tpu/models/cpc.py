@@ -27,7 +27,9 @@ def get_ar(config: CPCConfig):
     """Flag -> AR factory (feature_loader.py:137-153)."""
     mode = config.arMode
     if mode == "transformer":
-        return TransformerAR(config.hiddenEncoder, config.nLevelsGRU,
+        # Reference getAR hard-codes 1 transformer layer regardless of
+        # nLevelsGRU (feature_loader.py:139-141).
+        return TransformerAR(config.hiddenEncoder, 1,
                              config.sizeWindow // 160, config.abspos)
     if mode == "no_ar":
         return NoAr()
@@ -111,9 +113,9 @@ class ConcatenatedModel(nn.Module):
 
 
 def build_model(config: CPCConfig) -> CPCModel:
-    """Build a CPCModel; no_ar forces hiddenGar == hiddenEncoder
-    (train.py:486-487)."""
-    if config.arMode == "no_ar":
+    """Build a CPCModel; no_ar and transformer force
+    hiddenGar == hiddenEncoder (train.py:486-487, feature_loader.py:142)."""
+    if config.arMode in ("no_ar", "transformer"):
         config = config.replace(hiddenGar=config.hiddenEncoder)
     return CPCModel(config)
 

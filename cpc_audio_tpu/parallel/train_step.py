@@ -80,14 +80,16 @@ def _model_variables(params, batch_stats):
 def _forward_loss(model, criterion, params, batch_stats, batch, labels,
                   hidden, rngs, train: bool):
     model_vars = _model_variables(params, batch_stats)
+    # The transformer AR has dropout inside the model (transformers.py:75).
+    model_rngs = {"dropout": rngs["dropout"]} if train and rngs else None
     if batch_stats and train:
         (c, z, lab, hid), updated = model.apply(
             model_vars, batch, labels, hidden, train=True,
-            mutable=["batch_stats"])
+            mutable=["batch_stats"], rngs=model_rngs)
         new_stats = {"model": updated["batch_stats"]}
     else:
         c, z, lab, hid = model.apply(model_vars, batch, labels, hidden,
-                                     train=train)
+                                     train=train, rngs=model_rngs)
         new_stats = batch_stats
     losses, accs = criterion.apply({"params": params["criterion"]}, c, z,
                                    lab, train=train, rngs=rngs)

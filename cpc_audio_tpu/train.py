@@ -316,6 +316,11 @@ def main(argv=None) -> int:
     print(f"Let's use {n_devices} devices (mesh axes {mesh.axis_names})!")
 
     # -- model / criterion ------------------------------------------------
+    # no_ar / transformer ARs emit hiddenEncoder-dim contexts; normalize
+    # hiddenGar so the criterion sizing matches (reference train.py:486-487,
+    # feature_loader.py:142 mutate args in place).
+    if cpc_config.arMode in ("no_ar", "transformer"):
+        cpc_config = cpc_config.replace(hiddenGar=cpc_config.hiddenEncoder)
     model = build_model(cpc_config)
     criterion = get_criterion(cpc_config, train_config, 160,
                               len(speakers), n_phones)

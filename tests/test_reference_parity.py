@@ -202,3 +202,96 @@ def test_hub_pretrained_from_local_torch_checkpoint(ref_modules, tmp_path):
         c_ref, _, _ = cpc(x, None)
     c, z, _, _ = model.apply(variables, jnp.asarray(x.numpy()), None)
     np.testing.assert_allclose(np.asarray(c), c_ref.numpy(), atol=5e-4)
+
+
+@pytest.fixture(scope="module")
+def ref_custom_layers():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "custom_layers_ref", f"{REF}/cpc/criterion/custom_layers.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["custom_layers_ref"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_equalized_linear_parity(ref_custom_layers):
+    """ConstrainedLayer scales the WHOLE output, bias included
+    (custom_layers.py:73-77); EqualizedDense must do the same."""
+    from cpc_audio_tpu.criterion.custom_layers import EqualizedDense
+    torch.manual_seed(11)
+    ref = ref_custom_layers.EqualizedLinear(8, 12)
+    with torch.no_grad():
+        ref.module.bias.normal_(0.0, 1.0)  # nonzero bias exposes the scale
+    ref.eval()
+    x = torch.randn(4, 8)
+    with torch.no_grad():
+        y_ref = ref(x)
+
+    params = {"kernel": jnp.asarray(ref.module.weight.detach().numpy().T),
+              "bias": jnp.asarray(ref.module.bias.detach().numpy())}
+    y = EqualizedDense(12).apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-5)
+
+
+def test_equalized_conv1d_parity(ref_custom_layers):
+    from cpc_audio_tpu.criterion.custom_layers import EqualizedConv1d
+    torch.manual_seed(12)
+    ref = ref_custom_layers.EqualizedConv1d(8, 12, 4, padding=3)
+    with torch.no_grad():
+        ref.module.bias.normal_(0.0, 1.0)
+    ref.eval()
+    x = torch.randn(2, 8, 10)  # torch NCW
+    with torch.no_grad():
+        y_ref = ref(x).permute(0, 2, 1)  # -> NWC
+
+    params = {"weight": jnp.asarray(ref.module.weight.detach().numpy()),
+              "bias": jnp.asarray(ref.module.bias.detach().numpy())}
+    y = EqualizedConv1d(12, kernel_size=4, padding=3).apply(
+        {"params": params}, jnp.asarray(x.permute(0, 2, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-5)
+
+
+def test_ctc_phone_criterion_mean_reduction_parity():
+    """CTCPhoneCriterion loss matches torch nn.CTCLoss(reduction='mean'),
+    which divides each sequence's loss by its target length before
+    averaging (reference criterion.py:328-355)."""
+    from cpc_audio_tpu.criterion.supervised import CTCPhoneCriterion
+    rng = np.random.RandomState(13)
+    B, S, H, P = 3, 12, 6, 5
+    c = rng.randn(B, S, H).astype(np.float32)
+    # frame-aligned labels with repeats (different collapsed lengths/batch)
+    label = np.stack([
+        np.repeat(rng.randint(0, P, S // 4), 4),
+        np.repeat(rng.randint(0, P, S // 2), 2),
+        rng.randint(0, P, S),
+    ]).astype(np.int32)
+
+    crit = CTCPhoneCriterion(dim_encoder=H, n_phones=P)
+    variables = crit.init(jax.random.PRNGKey(0), jnp.asarray(c),
+                          None, jnp.asarray(label))
+    loss, _ = crit.apply(variables, jnp.asarray(c), None, jnp.asarray(label))
+
+    w = np.asarray(
+        variables["params"]["PhoneCriterionClassifier"]["kernel"]).T
+    b = np.asarray(variables["params"]["PhoneCriterionClassifier"]["bias"])
+    lin = torch.nn.Linear(H, P + 1)
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(w))
+        lin.bias.copy_(torch.from_numpy(b))
+    logits = lin(torch.from_numpy(c))  # (B,S,P+1)
+    logp = torch.nn.functional.log_softmax(logits, dim=2).permute(1, 0, 2)
+    targets, sizes = [], []
+    for row in label:
+        keep = np.concatenate([[True], row[1:] != row[:-1]])
+        targets.append(row[keep])
+        sizes.append(int(keep.sum()))
+    tmax = max(sizes)
+    padded = np.zeros((B, tmax), np.int64)
+    for i, t in enumerate(targets):
+        padded[i, :len(t)] = t
+    ctc = torch.nn.CTCLoss(blank=P, zero_infinity=True)  # reduction='mean'
+    loss_ref = ctc(logp, torch.from_numpy(padded),
+                   torch.full((B,), S, dtype=torch.int64),
+                   torch.tensor(sizes, dtype=torch.int64))
+    np.testing.assert_allclose(float(loss[0]), float(loss_ref), rtol=1e-4)
