@@ -11,6 +11,7 @@ variant feeding optax's CTC loss.
 
 from __future__ import annotations
 
+import multiprocessing
 from concurrent.futures import ProcessPoolExecutor
 from typing import List, Sequence, Tuple
 
@@ -176,7 +177,11 @@ def get_per(data_iter, feature_fn, blank_label: int,
         jobs = [(posteriors[i], labels_np[i, :sizes[i]], blank_label,
                  n_keep_beam_search) for i in range(posteriors.shape[0])]
         if pool_size > 1 and len(jobs) > 1:
-            with ProcessPoolExecutor(max_workers=pool_size) as ex:
+            # spawn, not fork: forking a JAX-initialized multithreaded
+            # process can deadlock (reference precedent train.py:492)
+            ctx = multiprocessing.get_context("spawn")
+            with ProcessPoolExecutor(max_workers=pool_size,
+                                     mp_context=ctx) as ex:
                 values = list(ex.map(_per_one, jobs))
         else:
             values = [_per_one(j) for j in jobs]

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import random
+from itertools import permutations
 from typing import Callable, Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -65,35 +66,37 @@ def load_item_file(path_item_file: str):
 
 
 def get_features_group(in_data: Sequence, index_order: Sequence[int]):
-    """Sort item indices by the given id columns and nest ranges per level
-    (abx_iterators.py:81-112).  Returns (sorted_index, nested_groups)."""
-    in_index = sorted(range(len(in_data)),
-                      key=lambda x: [in_data[x][i] for i in index_order])
-    out_groups: list = []
-    last_values = [in_data[in_index[0]][i] for i in index_order]
-    i_s = 0
-    curr_group: List[list] = [[] for _ in index_order]
-    n_orders = len(index_order) - 1
-    tmp = [in_data[i] for i in in_index]
-    for index, item in enumerate(tmp):
-        for order_index, order in enumerate(index_order):
-            if item[order] != last_values[order_index]:
-                curr_group[-1].append((i_s, index))
-                for i in range(n_orders, order_index, -1):
-                    curr_group[i - 1].append(curr_group[i])
-                    curr_group[i] = []
-                if order_index == 0:
-                    out_groups += curr_group[0]
-                    curr_group[0] = []
-                last_values = [item[i] for i in index_order]
-                i_s = index
-                break
-    if i_s < len(in_data):
-        curr_group[-1].append((i_s, len(in_data)))
-        for i in range(n_orders, 0, -1):
-            curr_group[i - 1].append(curr_group[i])
-        out_groups += curr_group[0]
-    return in_index, out_groups
+    """Stable-sort item indices by the given id columns and nest contiguous
+    runs per level: the innermost entries are (start, end) ranges over the
+    sorted order where all columns are equal; each enclosing level groups
+    them by its column prefix.  Same contract as abx_iterators.py:81-112,
+    expressed as a lexsort + run-length split.
+
+    Returns (sorted_index, nested_groups).
+    """
+    n_items, n_levels = len(in_data), len(index_order)
+    if n_items == 0:
+        return [], []
+    keys = np.asarray([[row[i] for i in index_order] for row in in_data])
+    # np.lexsort is stable and sorts by its LAST key first -> feed the
+    # columns in reverse so column 0 is the primary key, original order
+    # breaks ties (matching sorted(..., key=...)).
+    order = np.lexsort(tuple(keys[:, c] for c in reversed(range(n_levels))))
+    sorted_keys = keys[order]
+    # changed[t - 1, c]: column c differs between sorted rows t-1 and t
+    changed = sorted_keys[1:] != sorted_keys[:-1]
+
+    def split(level: int, start: int, end: int) -> list:
+        """Cut [start, end) wherever any column <= level changes; recurse
+        one level deeper inside each run (leaves are (start, end) tuples)."""
+        cut_here = changed[start:end - 1, :level + 1].any(axis=1)
+        cuts = [start] + list(np.flatnonzero(cut_here) + start + 1) + [end]
+        runs = list(zip(cuts[:-1], cuts[1:]))
+        if level == n_levels - 1:
+            return [(int(s), int(e)) for s, e in runs]
+        return [split(level + 1, s, e) for s, e in runs]
+
+    return [int(i) for i in order], split(0, 0, n_items)
 
 
 class ABXFeatureLoader:
@@ -113,7 +116,6 @@ class ABXFeatureLoader:
                  step_feature: float, normalize: bool):
         files_data, self.context_match, self.phone_match, \
             self.speaker_match = load_item_file(path_item_file)
-        self.seq_norm = True
         self.step_feature = step_feature
         self._load(files_data, seq_list, feature_maker, normalize)
 
@@ -128,6 +130,8 @@ class ABXFeatureLoader:
             if features.ndim == 3:
                 features = features.reshape(features.shape[1],
                                             features.shape[2])
+            elif features.ndim == 1:
+                features = features[:, None]
             if normalize:
                 features = normalize_with_singularity(features)
             n_frames = features.shape[0]
@@ -193,25 +197,19 @@ class ABXIterator:
 
     def get_group(self, i_start: int, i_end: int):
         """Pack one group into (N, max_size, H) + sizes, subsampled to
-        max_size_group (abx_iterators.py:265-288)."""
-        data = []
-        max_size = 0
-        to_take = list(range(i_start, i_end))
-        if i_end - i_start > self.max_size_group:
-            to_take = self.rng.sample(to_take, k=self.max_size_group)
-        loc_id = (0, 0, 0)
-        for i in to_take:
-            loc_data, loc_size, loc_id = self.dataset[self.index_csp[i]]
-            max_size = max(loc_size, max_size)
-            data.append(loc_data)
-        N = len(to_take)
-        out_data = np.zeros((N, max_size, self.dataset.feature_dim),
-                            np.float32)
-        out_size = np.zeros(N, np.int64)
-        for i, d in enumerate(data):
-            out_data[i, :len(d)] = d
-            out_size[i] = len(d)
-        return out_data, out_size, loc_id
+        max_size_group (abx_iterators.py:265-288 semantics)."""
+        picks = list(range(i_start, i_end))
+        if len(picks) > self.max_size_group:
+            picks = self.rng.sample(picks, k=self.max_size_group)
+        segments = [self.dataset[self.index_csp[i]] for i in picks]
+        sizes = np.fromiter((s for _, s, _ in segments), np.int64,
+                            count=len(segments))
+        out_data = np.zeros((len(segments), int(sizes.max()),
+                             self.dataset.feature_dim), np.float32)
+        for row, (seg, size, _) in enumerate(segments):
+            out_data[row, :size] = seg
+        # every item in a group shares (context, phone, speaker) ids
+        return out_data, sizes, segments[-1][2]
 
     def __len__(self) -> int:
         return self.len
@@ -227,34 +225,27 @@ class ABXWithinGroupIterator(ABXIterator):
     def __init__(self, abx_dataset, max_size_group, seed: int = 0):
         super().__init__(abx_dataset, max_size_group, seed)
         self.symmetric = True
-        for context_group in self.groups_csp:
-            for speaker_group in context_group:
-                if len(speaker_group) > 1:
-                    for i_start, i_end in speaker_group:
-                        if i_end - i_start > 1:
-                            self.len += len(speaker_group) - 1
+        # A needs >= 2 items (X is drawn from A's group); B any other phone
+        # in the same (context, speaker) cell.
+        self.len = sum(
+            (len(speaker_group) - 1)
+            for context_group in self.groups_csp
+            for speaker_group in context_group if len(speaker_group) > 1
+            for s, e in speaker_group if e - s > 1)
 
     def __iter__(self):
-        for i_c, context_group in enumerate(self.groups_csp):
-            for i_s, speaker_group in enumerate(context_group):
-                n_phones = len(speaker_group)
-                if n_phones == 1:
+        for context_group in self.groups_csp:
+            for speaker_group in context_group:
+                if len(speaker_group) <= 1:
                     continue
-                for i_a in range(n_phones):
-                    i_start_a, i_end_a = speaker_group[i_a]
-                    if i_end_a - i_start_a == 1:
+                for group_a, group_b in permutations(speaker_group, 2):
+                    if group_a[1] - group_a[0] <= 1:
                         continue
-                    for i_b in range(n_phones):
-                        if i_b == i_a:
-                            continue
-                        i_start_b, i_end_b = speaker_group[i_b]
-                        data_b, size_b, id_b = self.get_group(i_start_b,
-                                                              i_end_b)
-                        data_a, size_a, id_a = self.get_group(i_start_a,
-                                                              i_end_a)
-                        out_coords = (id_a[2], id_a[1], id_b[1], id_a[0])
-                        yield (out_coords, (data_a, size_a),
-                               (data_b, size_b), (data_a, size_a))
+                    data_a, size_a, id_a = self.get_group(*group_a)
+                    data_b, size_b, id_b = self.get_group(*group_b)
+                    coords = (id_a[2], id_a[1], id_b[1], id_a[0])
+                    yield (coords, (data_a, size_a), (data_b, size_b),
+                           (data_a, size_a))
 
     def get_board_size(self):
         return (self.dataset.get_n_speakers(), self.dataset.get_n_phone(),
@@ -270,57 +261,51 @@ class ABXAcrossGroupIterator(ABXIterator):
         super().__init__(abx_dataset, max_size_group, seed)
         self.symmetric = False
         self.max_x = max_x
-        self.get_speakers_from_cp: Dict[int, Dict[int, Dict[int, tuple]]] = {}
-        for context_group in self.groups_csp:
-            for speaker_group in context_group:
-                for i_start, i_end in speaker_group:
-                    c_id, p_id, s_id = self.dataset.get_ids(
-                        self.index_csp[i_start])
-                    self.get_speakers_from_cp.setdefault(c_id, {}) \
-                        .setdefault(p_id, {})[s_id] = (i_start, i_end)
-        for context_group in self.groups_csp:
-            for speaker_group in context_group:
-                if len(speaker_group) > 1:
-                    for i_start, i_end in speaker_group:
-                        c_id, p_id, s_id = self.dataset.get_ids(
-                            self.index_csp[i_start])
-                        self.len += (len(speaker_group) - 1) * min(
-                            self.max_x,
-                            len(self.get_speakers_from_cp[c_id][p_id]) - 1)
+        # (context, phone) -> {speaker: leaf range}; X candidates for a
+        # group are the same (context, phone) under a different speaker.
+        self.speakers_by_cp: Dict[tuple, Dict[int, tuple]] = {}
+        for group in self._leaf_groups():
+            c_id, p_id, s_id = self._group_ids(group)
+            self.speakers_by_cp.setdefault((c_id, p_id), {})[s_id] = group
+        self.len = sum(
+            (len(speaker_group) - 1) * min(self.max_x,
+                                           len(self._x_candidates(group)))
+            for context_group in self.groups_csp
+            for speaker_group in context_group if len(speaker_group) > 1
+            for group in speaker_group)
 
-    def _other_speakers(self, i_start_group: int):
-        c_id, p_id, s_id = self.dataset.get_ids(
-            self.index_csp[i_start_group])
-        return [v for k, v in self.get_speakers_from_cp[c_id][p_id].items()
-                if k != s_id]
+    def _leaf_groups(self):
+        for context_group in self.groups_csp:
+            for speaker_group in context_group:
+                yield from speaker_group
+
+    def _group_ids(self, group):
+        return self.dataset.get_ids(self.index_csp[group[0]])
+
+    def _x_candidates(self, group):
+        c_id, p_id, s_id = self._group_ids(group)
+        return [g for spk, g in self.speakers_by_cp[(c_id, p_id)].items()
+                if spk != s_id]
 
     def __iter__(self):
-        for i_c, context_group in enumerate(self.groups_csp):
-            for i_s, speaker_group in enumerate(context_group):
-                n_phones = len(speaker_group)
-                if n_phones == 1:
+        for context_group in self.groups_csp:
+            for speaker_group in context_group:
+                if len(speaker_group) <= 1:
                     continue
-                for i_a in range(n_phones):
-                    i_start_a, i_end_a = speaker_group[i_a]
-                    ref = self._other_speakers(i_start_a)
-                    if len(ref) > self.max_x:
-                        speakers_a = self.rng.sample(ref, k=self.max_x)
-                    else:
-                        speakers_a = ref
-                    for i_start_x, i_end_x in speakers_a:
-                        for i_b in range(n_phones):
+                for i_a, group_a in enumerate(speaker_group):
+                    candidates = self._x_candidates(group_a)
+                    if len(candidates) > self.max_x:
+                        candidates = self.rng.sample(candidates, k=self.max_x)
+                    for group_x in candidates:
+                        for i_b, group_b in enumerate(speaker_group):
                             if i_b == i_a:
                                 continue
-                            i_start_b, i_end_b = speaker_group[i_b]
-                            data_a, size_a, id_a = self.get_group(i_start_a,
-                                                                  i_end_a)
-                            data_b, size_b, id_b = self.get_group(i_start_b,
-                                                                  i_end_b)
-                            data_x, size_x, id_x = self.get_group(i_start_x,
-                                                                  i_end_x)
-                            out_coords = (id_a[2], id_a[1], id_b[1],
-                                          id_a[0], id_x[2])
-                            yield (out_coords, (data_a, size_a),
+                            data_a, size_a, id_a = self.get_group(*group_a)
+                            data_b, size_b, id_b = self.get_group(*group_b)
+                            data_x, size_x, id_x = self.get_group(*group_x)
+                            coords = (id_a[2], id_a[1], id_b[1], id_a[0],
+                                      id_x[2])
+                            yield (coords, (data_a, size_a),
                                    (data_b, size_b), (data_x, size_x))
 
     def get_board_size(self):

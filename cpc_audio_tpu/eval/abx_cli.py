@@ -108,6 +108,10 @@ def parse_args(argv):
 
     p = subparsers.add_parser("from_pre_computed")
     update_base_parser(p)
+    # deviation: the reference from_pre_computed parser omits
+    # path_item_file (ABX.py:150-156) yet main reads args.path_item_file
+    # (ABX.py:199), so that mode crashes there; we accept it explicitly.
+    p.add_argument("path_item_file", type=str)
     p.add_argument("path_features", type=str)
     p.add_argument("--file_extension", type=str, default=".npy")
     return base_parser.parse_args(argv)

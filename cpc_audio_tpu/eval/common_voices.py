@@ -214,6 +214,7 @@ def _per_one(args):
 def per_step(dataset, predict_step, params, batch_size: int,
              downsampling: int, blank_label: int) -> Tuple[float, float]:
     """Beam-search PER over a dataset (common_voices_eval.py:280-327)."""
+    import multiprocessing
     from concurrent.futures import ProcessPoolExecutor
     avg, var, n = 0.0, 0.0, 0
     for seq, size_seq, phone, size_phone in dataset.batches(
@@ -225,7 +226,10 @@ def per_step(dataset, predict_step, params, batch_size: int,
                             posts.shape[1]))
             gt = phone[b, :size_phone[b]].tolist()
             jobs.append((posts[b], valid, gt, blank_label))
-        with ProcessPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+        # spawn, not fork: forking after JAX init can deadlock
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=min(8, len(jobs)),
+                                 mp_context=ctx) as ex:
             values = list(ex.map(_per_one, jobs))
         avg += float(np.sum(values))
         var += float(np.sum(np.square(values)))

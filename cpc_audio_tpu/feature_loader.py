@@ -187,8 +187,7 @@ def seq_normalization(out: jax.Array) -> jax.Array:
 
 def to_one_hot(labels: jax.Array, n_items: int) -> jax.Array:
     """(B, S) int -> (B, S, n_items) one-hot (feature_loader.py:212-218)."""
-    return jax.nn.one_hot(labels, n_items, dtype=jnp.int64 if False
-                          else jnp.float32)
+    return jax.nn.one_hot(labels, n_items, dtype=jnp.float32)
 
 
 class FeatureModule:
