@@ -83,16 +83,36 @@ def _convert_recurrent(sd: Dict[str, Any], prefix: str, n_layers: int
                        ) -> dict:
     """torch nn.GRU/LSTM/RNN state -> stacked _RecurrentLayer params.
     Weights transpose to the (in, gates) layout (see models/ar.py)."""
+    return {f"layer{l}": _rnn_layer(sd, prefix, l) for l in range(n_layers)}
+
+
+def _rnn_layer(sd: Dict[str, Any], prefix: str, l: int, suffix: str = ""
+               ) -> dict:
+    return {
+        "weight_ih_t": _np(sd[f"{prefix}weight_ih_l{l}{suffix}"]).T,
+        "weight_hh_t": _np(sd[f"{prefix}weight_hh_l{l}{suffix}"]).T,
+        "bias_ih": _np(sd[f"{prefix}bias_ih_l{l}{suffix}"]),
+        "bias_hh": _np(sd[f"{prefix}bias_hh_l{l}{suffix}"]),
+    }
+
+
+def convert_bidir_tangled(sd: Dict[str, Any], n_layers: int) -> dict:
+    """torch BiDIRARTangled (nn.GRU(bidirectional=True), model.py:216-239)
+    state dict -> BiDIRARTangled params (interleaved directions)."""
     params: dict = {}
     for l in range(n_layers):
-        layer = {
-            "weight_ih_t": _np(sd[f"{prefix}weight_ih_l{l}"]).T,
-            "weight_hh_t": _np(sd[f"{prefix}weight_hh_l{l}"]).T,
-            "bias_ih": _np(sd[f"{prefix}bias_ih_l{l}"]),
-            "bias_hh": _np(sd[f"{prefix}bias_hh_l{l}"]),
-        }
-        params[f"layer{l}"] = layer
+        params[f"layer{l}_fwd"] = _rnn_layer(sd, "ARNet.", l)
+        params[f"layer{l}_bwd"] = _rnn_layer(sd, "ARNet.", l, "_reverse")
     return params
+
+
+def convert_bidir(sd: Dict[str, Any], n_layers: int) -> dict:
+    """torch BiDIRAR (two independent nn.GRUs, model.py:242-268) state
+    dict -> BiDIRAR params."""
+    return {
+        "netForward": _convert_recurrent(sd, "netForward.", n_layers),
+        "netBackward": _convert_recurrent(sd, "netBackward.", n_layers),
+    }
 
 
 def _convert_transformer_layer(sd: Dict[str, Any], prefix: str) -> dict:

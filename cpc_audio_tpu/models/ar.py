@@ -183,7 +183,11 @@ class NoAr(nn.Module):
 
 
 class BiDIRARTangled(nn.Module):
-    """Bidirectional GRU, tangled variant (model.py:216-239)."""
+    """True bidirectional GRU, torch ``nn.GRU(bidirectional=True)``
+    semantics (model.py:216-239): at every layer the forward and backward
+    directions each consume the CONCATENATED two-direction output of the
+    previous layer (interleaved, not two independent stacks — that is
+    BiDIRAR)."""
 
     dim_output: int
     num_layers: int = 1
@@ -192,20 +196,31 @@ class BiDIRARTangled(nn.Module):
     def __call__(self, x, hidden=None, train: bool = False):
         assert self.dim_output % 2 == 0
         H = self.dim_output // 2
-        fwd = CPCAR(H, self.num_layers, "GRU", reverse=False, name="fwd")
-        bwd = CPCAR(H, self.num_layers, "GRU", reverse=False, name="bwd")
-        yf, _ = fwd(x)
-        yb, _ = bwd(jnp.flip(x, axis=1))
-        return jnp.concatenate([yf, jnp.flip(yb, axis=1)], axis=2), None
+        B = x.shape[0]
+        y = x
+        for layer in range(self.num_layers):
+            h0 = jnp.zeros((B, H), y.dtype)
+            yf, _ = _RecurrentLayer(H, "GRU",
+                                    name=f"layer{layer}_fwd")(y, h0)
+            yb, _ = _RecurrentLayer(H, "GRU", name=f"layer{layer}_bwd")(
+                jnp.flip(y, axis=1), h0)
+            y = jnp.concatenate([yf, jnp.flip(yb, axis=1)], axis=2)
+        return y, None
 
 
 class BiDIRAR(nn.Module):
-    """Bidirectional GRU, separate nets (model.py:242-268)."""
+    """Bidirectional GRU as two independent multi-layer stacks
+    (model.py:242-268): netForward reads x, netBackward reads flipped x,
+    outputs concatenate only at the end."""
 
     dim_output: int
     num_layers: int = 1
 
     @nn.compact
     def __call__(self, x, hidden=None, train: bool = False):
-        return BiDIRARTangled(self.dim_output, self.num_layers,
-                              name="net")(x, hidden, train)
+        assert self.dim_output % 2 == 0
+        H = self.dim_output // 2
+        yf, _ = CPCAR(H, self.num_layers, "GRU", name="netForward")(x)
+        yb, _ = CPCAR(H, self.num_layers, "GRU", name="netBackward")(
+            jnp.flip(x, axis=1))
+        return jnp.concatenate([yf, jnp.flip(yb, axis=1)], axis=2), None

@@ -295,3 +295,43 @@ def test_ctc_phone_criterion_mean_reduction_parity():
                    torch.full((B,), S, dtype=torch.int64),
                    torch.tensor(sizes, dtype=torch.int64))
     np.testing.assert_allclose(float(loss[0]), float(loss_ref), rtol=1e-4)
+
+
+def test_bidir_tangled_parity(ref_modules):
+    """BiDIRARTangled == torch nn.GRU(bidirectional=True): each layer sees
+    both directions' concatenated outputs (model.py:216-239)."""
+    ref_model, _ = ref_modules
+    from cpc_audio_tpu.convert import convert_bidir_tangled
+    from cpc_audio_tpu.models.ar import BiDIRARTangled
+    torch.manual_seed(21)
+    D, H, L, S = 12, 16, 2, 9
+    ref = ref_model.BiDIRARTangled(D, H, L)
+    ref.eval()
+    x = torch.randn(3, S, D)
+    with torch.no_grad():
+        y_ref = ref(x)
+
+    params = convert_bidir_tangled(ref.state_dict(), L)
+    net = BiDIRARTangled(dim_output=H, num_layers=L)
+    y, _ = net.apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=2e-5)
+
+
+def test_bidir_parity(ref_modules):
+    """BiDIRAR == two independent torch GRU stacks concatenated at the
+    end (model.py:242-268)."""
+    ref_model, _ = ref_modules
+    from cpc_audio_tpu.convert import convert_bidir
+    from cpc_audio_tpu.models.ar import BiDIRAR
+    torch.manual_seed(22)
+    D, H, L, S = 12, 16, 2, 9
+    ref = ref_model.BiDIRAR(D, H, L)
+    ref.eval()
+    x = torch.randn(3, S, D)
+    with torch.no_grad():
+        y_ref = ref(x)
+
+    params = convert_bidir(ref.state_dict(), L)
+    net = BiDIRAR(dim_output=H, num_layers=L)
+    y, _ = net.apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=2e-5)
