@@ -335,3 +335,85 @@ def test_bidir_parity(ref_modules):
     net = BiDIRAR(dim_output=H, num_layers=L)
     y, _ = net.apply({"params": params}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=2e-5)
+
+
+def test_mfcc_encoder_torchaudio_parity():
+    """MFCCEncoder matches torchaudio.transforms.MFCC numerics
+    (reference model.py:108-122). torchaudio is not installed, so its
+    documented pipeline is reimplemented with torch ops: torch.stft
+    (center, reflect, periodic hann, power 2) -> HTK mel filterbank
+    (norm=None) -> AmplitudeToDB(power, top_db=80) -> ortho DCT-II."""
+    import math
+
+    from cpc_audio_tpu.models.encoder import MFCCEncoder
+
+    torch.manual_seed(31)
+    B, L, n_mfcc, n_fft, sr = 2, 3200, 20, 321, 16000
+    n_mels, hop = 128, n_fft // 2
+    x = torch.randn(B, 1, L)
+
+    # --- torchaudio.transforms.MFCC reimplementation -------------------
+    wave = x.view(B, -1)
+    window = torch.hann_window(n_fft)
+    spec = torch.stft(wave, n_fft, hop_length=hop, win_length=n_fft,
+                      window=window, center=True, pad_mode="reflect",
+                      normalized=False, onesided=True, return_complex=True)
+    spec = spec.abs() ** 2  # (B, n_freqs, T)
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    n_freqs = n_fft // 2 + 1
+    all_freqs = np.linspace(0, sr // 2, n_freqs)
+    m_pts = np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2.0), n_mels + 2)
+    f_pts = mel_to_hz(m_pts)
+    f_diff = np.diff(f_pts)
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    fb = np.maximum(0.0, np.minimum(-slopes[:, :-2] / f_diff[:-1],
+                                    slopes[:, 2:] / f_diff[1:]))
+    mel = torch.from_numpy(fb.astype(np.float32)).T @ spec  # (B, n_mels, T)
+
+    db = 10.0 * torch.log10(torch.clamp(mel, min=1e-10))
+    db = torch.max(db, db.amax(dim=(-2, -1), keepdim=True) - 80.0)
+
+    n = np.arange(n_mels)
+    k = np.arange(n_mfcc)[:, None]
+    dct = np.cos(math.pi / n_mels * (n[None, :] + 0.5) * k)
+    dct[0] *= 1.0 / math.sqrt(2.0)
+    dct = (dct * math.sqrt(2.0 / n_mels)).T  # (n_mels, n_mfcc)
+    mfcc_ref = (db.transpose(-2, -1) @ torch.from_numpy(
+        dct.astype(np.float32)))  # (B, T, n_mfcc)
+
+    # --- ours -----------------------------------------------------------
+    enc = MFCCEncoder(dim_encoded=n_mfcc)
+    out = enc.apply({}, jnp.asarray(x.numpy()))
+    assert out.shape == mfcc_ref.shape
+    np.testing.assert_allclose(np.asarray(out), mfcc_ref.numpy(),
+                               atol=1e-2, rtol=1e-4)
+
+
+def test_lfb_encoder_parity(ref_modules):
+    """LFBEncoder matches the reference LFBEnconder numerics
+    (model.py:125-152): conv pair-magnitudes -> Hann smoothing (stride
+    160) -> log1p -> InstanceNorm."""
+    ref_model, _ = ref_modules
+    from cpc_audio_tpu.models.encoder import LFBEncoder
+
+    torch.manual_seed(32)
+    C = 16
+    ref = ref_model.LFBEnconder(C)
+    ref.eval()
+    x = torch.randn(2, 1, 3200)
+    with torch.no_grad():
+        y_ref = ref(x).permute(0, 2, 1)  # CPCModel permutes (model.py:287)
+
+    params = {"conv": {
+        "kernel": jnp.asarray(ref.conv.weight.detach().numpy()
+                              .transpose(2, 1, 0)),
+        "bias": jnp.asarray(ref.conv.bias.detach().numpy())}}
+    enc = LFBEncoder(dim_encoded=C)
+    y = enc.apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-4)
