@@ -16,3 +16,83 @@ def test_shard_sequences_disjoint_cover():
 def test_shard_sequences_single_process_identity():
     seqs = [(0, "a"), (1, "b")]
     assert shard_sequences(seqs, process_index=0, process_count=1) == seqs
+
+
+def test_sharded_step_equals_manual_dataparallel_replay():
+    """The 8-device shard_map train step must equal a manual DataParallel
+    replay: per-device keys fold_in(key, d), per-shard grads of the summed
+    loss, grad-sum across shards, one optimizer update (reference
+    semantics: torch DataParallel sum, train.py:85,372-375)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from cpc_audio_tpu.config import CPCConfig
+    from cpc_audio_tpu.criterion import CPCUnsupervisedCriterion
+    from cpc_audio_tpu.models import build_model
+    from cpc_audio_tpu.parallel import (create_train_state, get_mesh,
+                                        make_optimizer, make_train_step,
+                                        shard_batch)
+    from cpc_audio_tpu.parallel.train_step import _forward_loss
+
+    n_dev = 8
+    config = CPCConfig(hiddenEncoder=16, hiddenGar=16, nPredicts=2,
+                       negativeSamplingExt=4, sizeWindow=3200,
+                       arMode="GRU", rnnMode="linear")
+    model = build_model(config)
+    criterion = CPCUnsupervisedCriterion(
+        n_predicts=config.nPredicts, dim_output_ar=config.hiddenGar,
+        dim_output_encoder=config.hiddenEncoder,
+        negative_sampling_ext=config.negativeSamplingExt,
+        rnn_mode=config.rnnMode,
+        size_input_seq=config.sizeWindow // 160)
+    optimizer = make_optimizer(config.beta1, config.beta2, config.epsilon)
+    state0 = create_train_state(jax.random.PRNGKey(0), model, criterion,
+                                optimizer, (1, 1, config.sizeWindow))
+
+    rng = np.random.RandomState(3)
+    batch_np = rng.randn(2 * n_dev, 1, config.sizeWindow).astype(np.float32)
+    key, lr = jax.random.PRNGKey(7), 2e-4
+
+    # --- sharded step ---------------------------------------------------
+    mesh = get_mesh(n_dev)
+    train_step = make_train_step(model, criterion, optimizer, mesh,
+                                 donate=False)
+    batch = shard_batch(mesh, batch_np)
+    state1, _, metrics = train_step(state0, batch, None, None, key, lr)
+
+    # --- manual replay on the default device ----------------------------
+    shards = np.split(batch_np, n_dev, axis=0)
+    total_grads = None
+    all_losses = []
+    for d in range(n_dev):
+        dev_key = jax.random.fold_in(key, d)
+        k_sample, k_drop = jax.random.split(dev_key)
+        rngs = {"sampling": k_sample, "dropout": k_drop}
+
+        def loss_fn(params):
+            losses, accs, _, _ = _forward_loss(
+                model, criterion, params, state0.batch_stats,
+                jnp.asarray(shards[d]), None, None, rngs, train=True)
+            return jnp.sum(losses), losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state0.params)
+        all_losses.append(np.asarray(losses))
+        total_grads = grads if total_grads is None else \
+            jax.tree_util.tree_map(jnp.add, total_grads, grads)
+
+    updates, _ = optimizer.update(total_grads, state0.opt_state,
+                                  state0.params)
+    updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+    params_ref = optax.apply_updates(state0.params, updates)
+
+    flat1 = jax.tree_util.tree_leaves_with_path(state1.params)
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(params_ref))
+    assert flat1
+    for path, leaf in flat1:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat_ref[path]),
+                                   atol=1e-6, err_msg=str(path))
+    np.testing.assert_allclose(np.asarray(metrics["losses"]),
+                               np.mean(all_losses, axis=0), rtol=1e-5)
