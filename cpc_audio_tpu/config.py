@@ -182,6 +182,7 @@ class TrainConfig:
     # TPU extensions
     profile_dir: Optional[str] = None   # jax.profiler trace output dir
     distributed: bool = False           # initialize multi-host runtime
+    export_torch: bool = False          # also save reference-format .torch.pt
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

@@ -360,3 +360,48 @@ def export_torch_checkpoint(params: dict, config: CPCConfig, path: str,
              "cpcCriterion": criterion_params or {},
              "optimizer": {}, "best": {}}
     torch.save(state, path)
+
+
+def export_checkpoint_file(path_in: str, path_out: str,
+                           path_args: Optional[str] = None) -> None:
+    """Convert one of our trainer checkpoints (checkpoint.py pickle layout)
+    to a reference-format torch checkpoint the reference's loadModel /
+    feature tooling can consume directly (feature_loader.py:201-209)."""
+    import json
+    import os
+
+    from . import checkpoint as ckpt
+
+    data = ckpt.load_checkpoint(path_in)
+    if path_args is None:
+        path_args = os.path.join(os.path.dirname(path_in) or ".",
+                                 "checkpoint_args.json")
+    with open(path_args) as f:
+        config = CPCConfig.from_dict(json.load(f))
+    if config.arMode in ("no_ar", "transformer"):
+        config = config.replace(hiddenGar=config.hiddenEncoder)
+    export_torch_checkpoint(data["gEncoder"], config, path_out,
+                            batch_stats=data.get("batch_stats"))
+
+
+def main(argv=None) -> int:
+    """CLI: ``python -m cpc_audio_tpu.convert export <in.pt> <out.pt>``
+    writes a torch checkpoint the reference tooling loads as-is."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Checkpoint format conversion")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("export", help="ours -> reference torch format")
+    p.add_argument("checkpoint", type=str)
+    p.add_argument("output", type=str)
+    p.add_argument("--path_args", type=str, default=None,
+                   help="checkpoint_args.json (default: sibling of input)")
+    args = parser.parse_args(argv)
+    export_checkpoint_file(args.checkpoint, args.output, args.path_args)
+    print(f"Exported {args.checkpoint} -> {args.output} (torch format)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -72,9 +72,20 @@ def _dtw_py(dist: np.ndarray, N: int, M: int) -> float:
 
 
 def dtw_batch(dist_mat: np.ndarray, sx: np.ndarray, sy: np.ndarray,
-              symmetric: bool) -> np.ndarray:
+              symmetric: bool, on_device: bool = False) -> np.ndarray:
     """Batched normalized DTW; ignore_diag==symmetric as at the reference
-    call sites (abx_group_computation.py:56-58)."""
+    call sites (abx_group_computation.py:56-58).
+
+    on_device=True runs the anti-diagonal wavefront scan (ops/dtw_jax.py)
+    on the default JAX device instead of the native host kernel."""
+    if on_device:
+        import jax.numpy as jnp
+
+        from ...ops.dtw_jax import dtw_pairwise_device
+        # writable copy: get_theta_group_dtw fills the diagonal in place
+        return np.array(dtw_pairwise_device(
+            jnp.asarray(dist_mat), np.asarray(sx), np.asarray(sy),
+            symmetric))
     if native.available():
         return native.dtw_batch(dist_mat, sx, sy, symmetric)
     N1, N2 = dist_mat.shape[:2]
@@ -92,25 +103,27 @@ def dtw_batch(dist_mat: np.ndarray, sx: np.ndarray, sy: np.ndarray,
 
 def get_distance_group_dtw(a1, a2, size1, size2, ignore_diag=False,
                            symmetric=False,
-                           distance_function=get_cosine_distance_batch
-                           ) -> np.ndarray:
+                           distance_function=get_cosine_distance_batch,
+                           on_device=False) -> np.ndarray:
     """Frame distances -> per-pair DTW costs (abx_group_computation.py:45-60).
     ignore_diag must equal symmetric (enforced by dtw_batch)."""
     distance_mat = distance_function(a1, a2)
     return dtw_batch(distance_mat, np.asarray(size1), np.asarray(size2),
-                     symmetric)
+                     symmetric, on_device=on_device)
 
 
-def get_theta_group_dtw(a, b, x, sa, sb, sx, distance_function, symmetric
-                        ) -> float:
+def get_theta_group_dtw(a, b, x, sa, sb, sx, distance_function, symmetric,
+                        on_device=False) -> float:
     """theta = P[d(x,a) < d(x,b)] + 0.5 P[=] over all pairs
     (abx_group_computation.py:63-90)."""
     assert a.shape[2] == b.shape[2] == x.shape[2]
     dxb = get_distance_group_dtw(x, b, sx, sb,
-                                 distance_function=distance_function)
+                                 distance_function=distance_function,
+                                 on_device=on_device)
     dxa = get_distance_group_dtw(x, a, sx, sa, ignore_diag=symmetric,
                                  symmetric=symmetric,
-                                 distance_function=distance_function)
+                                 distance_function=distance_function,
+                                 on_device=on_device)
     Nx, Na = dxa.shape
     _, Nb = dxb.shape
     if symmetric:
@@ -125,14 +138,16 @@ def get_theta_group_dtw(a, b, x, sa, sb, sx, distance_function, symmetric
     return float(sc) / (n_pos * Nb)
 
 
-def loc_dtw(data, distance_function, symmetric):
+def loc_dtw(data, distance_function, symmetric, on_device=False):
     coords, (a_data, a_size), (b_data, b_size), (x_data, x_size) = data
     theta = get_theta_group_dtw(a_data, b_data, x_data, a_size, b_size,
-                                x_size, distance_function, symmetric)
+                                x_size, distance_function, symmetric,
+                                on_device=on_device)
     return coords, 1.0 - theta
 
 
-def get_abx_scores_dtw_on_group(group_iterator, distance_function, symmetric
+def get_abx_scores_dtw_on_group(group_iterator, distance_function, symmetric,
+                                on_device=False
                                 ) -> Tuple[List[tuple], List[float], tuple]:
     """Score every group (abx_group_computation.py:110-129).
 
@@ -141,7 +156,8 @@ def get_abx_scores_dtw_on_group(group_iterator, distance_function, symmetric
     tensor for the same bookkeeping)."""
     coords_list, values_list = [], []
     for group in group_iterator:
-        coords, abx = loc_dtw(group, distance_function, symmetric)
+        coords, abx = loc_dtw(group, distance_function, symmetric,
+                              on_device=on_device)
         coords_list.append(coords)
         values_list.append(abx)
     return coords_list, values_list, group_iterator.get_board_size()

@@ -46,8 +46,11 @@ def abx(feature_function, path_item_file: str,
         seq_list: Sequence[Tuple[str, str]], distance_mode: str,
         step_feature: float, modes: Sequence[str], seq_norm: bool = True,
         max_x_across: int = 5, max_size_group: int = 30,
-        seed: int = 0) -> Dict[str, float]:
-    """Compute within/across ABX error rates (ABX.py:20-97)."""
+        seed: int = 0, on_device: bool = False) -> Dict[str, float]:
+    """Compute within/across ABX error rates (ABX.py:20-97).
+
+    on_device=True computes the DTW costs with the wavefront scan on the
+    default JAX device (ops/dtw_jax.py) instead of the native host kernel."""
     dataset = abx_it.ABXFeatureLoader(path_item_file, seq_list,
                                       feature_function, step_feature, True)
     distance_function = abx_g.get_distance_function_from_name(distance_mode)
@@ -60,7 +63,7 @@ def abx(feature_function, path_item_file: str,
             print("WARNING: no valid within-speaker triplet groups; skipped")
         else:
             coords, values, board = abx_g.get_abx_scores_dtw_on_group(
-                it, distance_function, it.symmetric)
+                it, distance_function, it.symmetric, on_device=on_device)
             scores["within"] = reduce_scores(coords, values, board, 1)
             print(f"...done. ABX within : {scores['within']}")
 
@@ -72,7 +75,7 @@ def abx(feature_function, path_item_file: str,
             print("WARNING: no valid across-speaker triplet groups; skipped")
         else:
             coords, values, board = abx_g.get_abx_scores_dtw_on_group(
-                it, distance_function, it.symmetric)
+                it, distance_function, it.symmetric, on_device=on_device)
             scores["across"] = reduce_scores(coords, values, board, 2)
             print(f"...done. ABX across : {scores['across']}")
 
@@ -90,6 +93,9 @@ def update_base_parser(parser):
     parser.add_argument("--max_x_across", type=int, default=5)
     parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--on_device", action="store_true",
+                        help="Run DTW on the JAX device (wavefront scan) "
+                             "instead of the native host kernel")
 
 
 def parse_args(argv):
@@ -153,7 +159,8 @@ def main(argv=None) -> int:
                  step_feature, modes, seq_norm=getattr(args, "seq_norm",
                                                        False),
                  max_x_across=args.max_x_across,
-                 max_size_group=args.max_size_group, seed=args.seed)
+                 max_size_group=args.max_size_group, seed=args.seed,
+                 on_device=args.on_device)
 
     if args.load == "from_checkpoint":
         default_out = os.path.dirname(args.path_checkpoint)

@@ -208,6 +208,13 @@ def run(train_dataset: AudioBatchData, val_dataset: AudioBatchData,
                 state.opt_state, best_state,
                 os.path.join(path_checkpoint, f"checkpoint_{epoch}.pt"),
                 batch_stats=state.batch_stats or None)
+            if train_config.export_torch:
+                from . import convert
+                convert.export_torch_checkpoint(
+                    ckpt.to_numpy_tree(state.params["model"]), config,
+                    os.path.join(path_checkpoint,
+                                 f"checkpoint_{epoch}.torch.pt"),
+                    batch_stats=(state.batch_stats or {}).get("model"))
             utils.save_logs(logs, os.path.join(path_checkpoint,
                                                "checkpoint_logs.json"))
 
@@ -391,6 +398,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Write a jax.profiler trace of the first epoch here")
     g.add_argument("--distributed", action="store_true",
                    help="Initialize the multi-host JAX runtime (TPU pods)")
+    g.add_argument("--export_torch", action="store_true",
+                   help="Also write reference-format checkpoint_<n>.torch.pt"
+                        " files the reference tooling loads directly")
     args = parser.parse_args(argv)
     if args.pathDB is None:
         parser.error("--pathDB is required")

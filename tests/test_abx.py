@@ -187,3 +187,25 @@ def test_abx_end_to_end_from_precomputed(tmp_path):
                    seq_list_w, "cosine", 10, ["within"])
     assert "within" in scores_w
     assert 0.0 <= scores_w["within"] <= 1.0
+
+
+@needs_ref
+def test_abx_on_device_matches_host_dtw(tmp_path):
+    """--on_device (wavefront-scan DTW on the JAX device) must reproduce
+    the native host kernel's scores through the full abx() pipeline."""
+    from cpc_audio_tpu.eval.abx_cli import abx
+    seq_list = [("2107", os.path.join(REF_TD, "2107.npy")),
+                ("42", os.path.join(REF_TD, "42.npy"))]
+
+    def feature_function(path):
+        return np.load(path).reshape(1, -1, 1)
+
+    kwargs = dict(path_item_file=os.path.join(REF_TD,
+                                              "dummy_item_within.item"),
+                  seq_list=seq_list, distance_mode="cosine",
+                  step_feature=10, modes=["within", "across"])
+    host = abx(feature_function, **kwargs)
+    dev = abx(feature_function, on_device=True, **kwargs)
+    assert host.keys() == dev.keys() and host
+    for k in host:
+        assert abs(host[k] - dev[k]) < 1e-5, (k, host[k], dev[k])

@@ -417,3 +417,39 @@ def test_lfb_encoder_parity(ref_modules):
     enc = LFBEncoder(dim_encoded=C)
     y = enc.apply({"params": params}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-4)
+
+
+def test_convert_cli_export_loads_in_reference(ref_modules, tmp_path):
+    """python -m cpc_audio_tpu.convert export writes a torch checkpoint the
+    reference CPCModel load_state_dict accepts strict=True."""
+    import json
+    import os
+
+    from cpc_audio_tpu import checkpoint as ckpt
+    from cpc_audio_tpu.convert import main as convert_main
+    ref_model, _ = ref_modules
+    H = 16
+    cfg = CPCConfig(hiddenEncoder=H, hiddenGar=H, sizeWindow=3200,
+                    arMode="GRU", nLevelsGRU=1, normMode="layerNorm")
+    model = build_model(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(9)},
+                           jnp.zeros((1, 1, 3200)))
+    src = str(tmp_path / "checkpoint_0.pt")
+    ckpt.save_checkpoint(variables["params"], {}, {}, {}, src)
+    with open(tmp_path / "checkpoint_args.json", "w") as f:
+        json.dump(cfg.to_dict(), f)
+    dst = str(tmp_path / "exported.pt")
+    assert convert_main(["export", src, dst]) == 0
+
+    state = torch.load(dst, weights_only=False)
+    enc = ref_model.CPCEncoder(sizeHidden=H, normMode="layerNorm")
+    ar = ref_model.CPCAR(H, H, keepHidden=False, nLevelsGRU=1, mode="GRU")
+    cpc = ref_model.CPCModel(enc, ar)
+    cpc.load_state_dict(state["gEncoder"], strict=True)
+    cpc.eval()
+    x = torch.randn(1, 1, 3200)
+    with torch.no_grad():
+        c_ref, z_ref, _ = cpc(x, None)
+    c, z, _, _ = model.apply(variables, jnp.asarray(x.numpy()), None)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c), c_ref.numpy(), atol=5e-4)
