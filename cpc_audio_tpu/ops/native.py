@@ -24,10 +24,13 @@ import numpy as np
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(os.path.dirname(_PKG_DIR))
 _NATIVE_DIR = os.path.join(_ROOT, "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libcpc_native.so")
+# installed package data first (setup.py copies it here), then the
+# source-tree build output
+_LIB_CANDIDATES = (os.path.join(_PKG_DIR, "libcpc_native.so"),
+                   os.path.join(_NATIVE_DIR, "libcpc_native.so"))
 
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
@@ -49,11 +52,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_LIB_PATH) and os.path.exists(_NATIVE_DIR):
+    path = next((p for p in _LIB_CANDIDATES if os.path.exists(p)), None)
+    if path is None and os.path.exists(_NATIVE_DIR):
         _build()
-    if not os.path.exists(_LIB_PATH):
+        path = next((p for p in _LIB_CANDIDATES if os.path.exists(p)), None)
+    if path is None:
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(path)
 
     lib.cpc_dtw_batch.restype = None
     lib.cpc_dtw_batch.argtypes = [
