@@ -72,9 +72,8 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(B, S, h, dk).transpose(0, 2, 1, 3)  # (B,h,S,dk)
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
 
+        bias = None
         if self.relpos:
             # Shaw-style relative positions with the zero-pad/reshape skew
             # (transformers.py:23-26, 42-47).  NOTE: do NOT "optimize" this
@@ -90,16 +89,43 @@ class MultiHeadAttention(nn.Module):
                             preferred_element_type=jnp.float32)
             z = jnp.zeros((B, h, S, 1), qp.dtype)
             qp = jnp.concatenate([z, qp], axis=3)          # (B,h,S,S+1)
-            qp = qp.reshape(B, h, S + 1, S)[:, :, 1:, :]   # skew -> (B,h,S,S)
-            logits = logits + qp
+            bias = qp.reshape(B, h, S + 1, S)[:, :, 1:, :]  # skew ->(B,h,S,S)
 
-        mask = jnp.tril(jnp.ones((S, S), bool))
-        logits = logits / math.sqrt(dk)
-        logits = jnp.where(mask, logits, -jnp.inf)
-        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        from ..ops.pallas.attention import (fused_attention_supported,
+                                            interpret_mode,
+                                            use_fused_attention)
+        if use_fused_attention() and fused_attention_supported(S, dk, B * h):
+            from ..ops.pallas.attention import fused_causal_attention
+            rate = self.dropout if train else 0.0
+            seed = jnp.zeros((1,), jnp.float32)
+            if rate > 0.0:
+                # fold the flax dropout stream into a per-call kernel seed
+                # (statistically equivalent dropout; documented deviation)
+                rng = self.make_rng("dropout")
+                bits = jax.random.key_data(rng) \
+                    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else rng
+                seed = (jnp.asarray(bits).reshape(-1)[-1:]
+                        % jnp.uint32(2 ** 30)).astype(jnp.float32)
+            if bias is None:
+                bias = jnp.zeros((B, h, S, S), q.dtype)
+            y = fused_causal_attention(
+                q.reshape(B * h, S, dk), k.reshape(B * h, S, dk),
+                v.reshape(B * h, S, dk),
+                bias.astype(q.dtype).reshape(B * h, S, S), seed, rate,
+                interpret_mode())
+            y = y.reshape(B, h, S, dk)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            if bias is not None:
+                logits = logits + bias
+            mask = jnp.tril(jnp.ones((S, S), bool))
+            logits = logits / math.sqrt(dk)
+            logits = jnp.where(mask, logits, -jnp.inf)
+            attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            y = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(B, S, self.dmodel)
         return Dense(self.dmodel, use_bias=False, name="Wo")(y)
 
