@@ -4,9 +4,9 @@ Reference: /root/reference/cpc/eval/utils/adjust_sample_rate.py (94 LoC),
 which used torchaudio's sinc resampler.  Here: polyphase windowed-sinc
 resampling via scipy.signal.resample_poly, 16-bit WAV output.
 
-Note: mp3 decode is not available in this environment (the native decoder
-handles FLAC/WAV); inputs must be flac/wav.  For mp3 corpora convert with
-ffmpeg first.
+mp3 input is decoded natively (native/audio.cc routes mp3 through the
+system's libmpg123), matching the reference's mp3-consuming pipeline
+(adjust_sample_rate.py:63-90 torchaudio-loaded mp3).
 
 Usage:
     python -m cpc_audio_tpu.eval.adjust_sample_rate DB PHONE_LIST OUT [...]

@@ -52,10 +52,17 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    path = next((p for p in _LIB_CANDIDATES if os.path.exists(p)), None)
+
+    def newest():
+        """Most recently built candidate wins (a stale installed copy must
+        not shadow a fresh `make -C native` build)."""
+        found = [p for p in _LIB_CANDIDATES if os.path.exists(p)]
+        return max(found, key=os.path.getmtime) if found else None
+
+    path = newest()
     if path is None and os.path.exists(_NATIVE_DIR):
         _build()
-        path = next((p for p in _LIB_CANDIDATES if os.path.exists(p)), None)
+        path = newest()
     if path is None:
         return None
     lib = ctypes.CDLL(path)

@@ -14,6 +14,8 @@
 //   cpc_decode_verify(path)                         -> 1 md5-ok / 0 / <0 err
 //   cpc_free(ptr)
 
+#include <dlfcn.h>
+
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -530,6 +532,133 @@ std::vector<uint8_t> read_file(const char* path) {
   return buf;
 }
 
+// ---------------------------------------------------------------------------
+// MP3 via the system's libmpg123 (dlopen'd lazily; the Common Voice eval
+// pipeline consumes mp3 — reference adjust_sample_rate.py:63-90 used
+// torchaudio).  Only the stable public C ABI is declared here.
+// ---------------------------------------------------------------------------
+namespace mp3 {
+
+typedef void mh;  // mpg123_handle
+struct Api {
+  int (*init)(void);
+  mh* (*new_)(const char*, int*);
+  int (*param)(mh*, int, long, double);
+  int (*open)(mh*, const char*);
+  int (*getformat)(mh*, long*, int*, int*);
+  int (*format_none)(mh*);
+  int (*format)(mh*, long, int, int);
+  int (*rates)(const long**, size_t*);
+  int (*read)(mh*, void*, size_t, size_t*);
+  int (*close)(mh*);
+  void (*del)(mh*);
+  bool ok = false;
+};
+
+constexpr int MPG123_OK = 0;
+constexpr int MPG123_DONE = -12;
+constexpr int MPG123_NEW_FORMAT = -11;
+constexpr int MPG123_ADD_FLAGS = 2;
+constexpr long MPG123_QUIET = 0x20;
+constexpr int MPG123_ENC_FLOAT_32 = 0x200;
+
+const Api& api() {
+  static Api a = [] {
+    Api r{};
+    void* lib = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_GLOBAL);
+    if (!lib) lib = dlopen("libmpg123.so", RTLD_NOW | RTLD_GLOBAL);
+    if (!lib) return r;
+    r.init = (int (*)(void))dlsym(lib, "mpg123_init");
+    r.new_ = (mh * (*)(const char*, int*)) dlsym(lib, "mpg123_new");
+    r.param = (int (*)(mh*, int, long, double))dlsym(lib, "mpg123_param");
+    r.open = (int (*)(mh*, const char*))dlsym(lib, "mpg123_open");
+    r.getformat =
+        (int (*)(mh*, long*, int*, int*))dlsym(lib, "mpg123_getformat");
+    r.format_none = (int (*)(mh*))dlsym(lib, "mpg123_format_none");
+    r.format = (int (*)(mh*, long, int, int))dlsym(lib, "mpg123_format");
+    r.rates = (int (*)(const long**, size_t*))dlsym(lib, "mpg123_rates");
+    r.read = (int (*)(mh*, void*, size_t, size_t*))dlsym(lib, "mpg123_read");
+    r.close = (int (*)(mh*))dlsym(lib, "mpg123_close");
+    r.del = (void (*)(mh*))dlsym(lib, "mpg123_delete");
+    r.ok = r.new_ && r.param && r.open && r.getformat && r.format_none &&
+           r.format && r.rates && r.read && r.close && r.del;
+    if (r.ok && r.init) r.init();
+    return r;
+  }();
+  return a;
+}
+
+int64_t decode(const char* path, StreamInfo* info,
+               std::vector<float>* samples) {
+  const Api& a = api();
+  if (!a.ok) return -3;  // libmpg123 unavailable
+  int err = 0;
+  mh* h = a.new_(nullptr, &err);
+  if (!h) return -1;
+  a.param(h, MPG123_ADD_FLAGS, MPG123_QUIET, 0.0);
+  // Force float32 output for every rate BEFORE open — after open the
+  // first frame's format is already locked and silently stays s16.
+  const long* rates = nullptr;
+  size_t n_rates = 0;
+  a.rates(&rates, &n_rates);
+  a.format_none(h);
+  constexpr int MPG123_MONO_STEREO = 3;
+  for (size_t i = 0; i < n_rates; i++)
+    a.format(h, rates[i], MPG123_MONO_STEREO, MPG123_ENC_FLOAT_32);
+  if (a.open(h, path) != MPG123_OK) {
+    a.del(h);
+    return -1;
+  }
+  long rate = 0;
+  int channels = 0, enc = 0;
+  if (a.getformat(h, &rate, &channels, &enc) != MPG123_OK || rate <= 0 ||
+      enc != MPG123_ENC_FLOAT_32) {
+    a.close(h);
+    a.del(h);
+    return -1;
+  }
+  std::vector<float> pcm;
+  std::vector<float> chunk(16384);
+  for (;;) {
+    size_t done = 0;
+    int rc = a.read(h, chunk.data(), chunk.size() * sizeof(float), &done);
+    if (done) pcm.insert(pcm.end(), chunk.data(),
+                         chunk.data() + done / sizeof(float));
+    if (rc == MPG123_NEW_FORMAT) {
+      a.getformat(h, &rate, &channels, &enc);
+      continue;
+    }
+    if (rc == MPG123_DONE) break;
+    if (rc != MPG123_OK) {
+      if (pcm.empty()) {
+        a.close(h);
+        a.del(h);
+        return -1;
+      }
+      break;  // salvage what decoded (truncated file)
+    }
+  }
+  a.close(h);
+  a.del(h);
+  if (!channels) return -1;
+  info->sample_rate = (uint32_t)rate;
+  info->channels = channels;
+  info->bps = 32;
+  int64_t n = (int64_t)(pcm.size() / channels);
+  info->total_samples = n;
+  if (samples) *samples = std::move(pcm);
+  return n;
+}
+
+}  // namespace mp3
+
+bool looks_like_mp3(const uint8_t* data, size_t size) {
+  if (size < 3) return false;
+  if (!memcmp(data, "ID3", 3)) return true;
+  // MPEG audio sync: 11 set bits, layer III
+  return size >= 2 && data[0] == 0xFF && (data[1] & 0xE0) == 0xE0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -541,9 +670,13 @@ long long cpc_audio_info(const char* path, int* sample_rate, int* channels) {
   int64_t n;
   if (buf.size() > 4 && !memcmp(buf.data(), "fLaC", 4))
     n = decode_flac_stream(buf.data(), buf.size(), &info, nullptr, nullptr);
+  else if (buf.size() > 12 && !memcmp(buf.data(), "RIFF", 4))
+    n = decode_wav(buf.data(), buf.size(), &info, nullptr);
+  else if (looks_like_mp3(buf.data(), buf.size()))
+    n = mp3::decode(path, &info, nullptr);
   else
     n = decode_wav(buf.data(), buf.size(), &info, nullptr);
-  if (n < 0) return -1;
+  if (n < 0) return (long long)n;
   *sample_rate = (int)info.sample_rate;
   *channels = info.channels;
   return n;
@@ -558,9 +691,13 @@ long long cpc_decode_audio(const char* path, int* sample_rate, int* channels,
   int64_t n;
   if (buf.size() > 4 && !memcmp(buf.data(), "fLaC", 4))
     n = decode_flac_stream(buf.data(), buf.size(), &info, &samples, nullptr);
+  else if (buf.size() > 12 && !memcmp(buf.data(), "RIFF", 4))
+    n = decode_wav(buf.data(), buf.size(), &info, &samples);
+  else if (looks_like_mp3(buf.data(), buf.size()))
+    n = mp3::decode(path, &info, &samples);
   else
     n = decode_wav(buf.data(), buf.size(), &info, &samples);
-  if (n < 0) return -1;
+  if (n < 0) return (long long)n;
   *sample_rate = (int)info.sample_rate;
   *channels = info.channels;
   *out = (float*)malloc(samples.size() * sizeof(float));

@@ -67,3 +67,41 @@ def test_seqnorm_lstm_variant(tmp_path, cpc_checkpoint):
                "--nEpochs", "1", "--LSTM", "--seqNorm", "-o", out])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "checkpoint.pt"))
+
+
+def test_train_and_per_on_mp3(tmp_path, cpc_checkpoint):
+    """BASELINE config #5 end-to-end from real mp3 input: fixture FLACs are
+    transcoded with lame, then the CTC transfer train + beam-search PER
+    pipeline consumes them via --file_extension .mp3."""
+    from mp3_util import encode_mp3, lame_available
+    if not lame_available():
+        pytest.skip("libmp3lame unavailable")
+    from cpc_audio_tpu.data.audio_io import decode_file
+    from cpc_audio_tpu.eval.common_voices import main
+
+    names = ["4051-11218-0044", "2911-12359-0007"]
+    db = tmp_path / "mp3db"
+    db.mkdir()
+    for name in names:
+        spk = name.split("-")[0]
+        src = None
+        for root, _, files in os.walk(DB):
+            if name + ".flac" in files:
+                src = os.path.join(root, name + ".flac")
+        assert src, name
+        pcm = decode_file(src, target_rate=16000)
+        encode_mp3(pcm, 16000, str(db / f"{name}.mp3"))
+
+    train_list = tmp_path / "train.txt"
+    train_list.write_text(names[0] + "\n")
+    val_list = tmp_path / "val.txt"
+    val_list.write_text(names[1] + "\n")
+    out = str(tmp_path / "cv_mp3_out")
+    rc = main(["train", str(db), PHONES, cpc_checkpoint,
+               "--pathTrain", str(train_list), "--pathVal", str(val_list),
+               "--file_extension", ".mp3", "--batchSize", "1",
+               "--nEpochs", "1", "--freeze", "-o", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "checkpoint.pt"))
+    rc = main(["per", out, "--batchSize", "1"])
+    assert rc == 0

@@ -140,3 +140,47 @@ def test_native_nw_matches_python():
         v1 = native.needleman_wunsch(a, b)
         v2 = needleman_wunsch_align_score(a, b, -1, -1, 0)
         assert abs(v1 - v2) < 1e-9
+
+
+def test_mp3_decode_correlates_with_source():
+    """mp3 decode (libmpg123 behind native/audio.cc) reproduces a
+    lame-encoded test signal up to codec error and encoder delay."""
+    import tempfile
+
+    from mp3_util import encode_mp3, lame_available
+    if not lame_available():
+        pytest.skip("libmp3lame unavailable")
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    src = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 1313 * t)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sig.mp3")
+        encode_mp3(src, sr, path)
+        data, rate = native.decode_audio(path)
+    assert rate == sr
+    dec = data.reshape(-1)
+    # align past the lame encoder + mpg123 decoder delay
+    corr = np.correlate(dec[:8000], src[:4000], "valid")
+    off = int(np.argmax(corr))
+    c = np.corrcoef(dec[off:off + sr], src[:sr])[0, 1]
+    assert c > 0.99, (off, c)
+
+
+def test_mp3_decode_through_audio_io():
+    """decode_file routes mp3 by content and returns mono float32."""
+    import tempfile
+
+    from mp3_util import encode_mp3, lame_available
+    if not lame_available():
+        pytest.skip("libmp3lame unavailable")
+    from cpc_audio_tpu.data.audio_io import decode_file, file_length
+    sr = 16000
+    src = np.sin(2 * np.pi * 220 * np.arange(sr) / sr).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sig.mp3")
+        encode_mp3(src, sr, path)
+        data = decode_file(path, target_rate=sr)
+        n = file_length(path)
+    assert data.ndim == 1 and data.dtype == np.float32
+    assert n == len(data)

@@ -100,3 +100,36 @@ def test_adjust_sample_rate(tmp_path):
     with wave.open(os.path.join(out, "2911-12359-0007.wav"), "rb") as w:
         assert w.getframerate() == 8000
         assert abs(w.getnframes() - 81520 // 2) <= 2
+
+
+def test_adjust_sample_rate_from_mp3(tmp_path):
+    """mp3 in -> resampled wav out (the reference's Common Voice ingest:
+    adjust_sample_rate.py:63-90)."""
+    from mp3_util import encode_mp3, lame_available
+    if not lame_available():
+        import pytest
+        pytest.skip("libmp3lame unavailable")
+    from cpc_audio_tpu.eval.adjust_sample_rate import main
+    sr = 32000
+    t = np.arange(sr) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 523 * t)).astype(np.float32)
+    db = tmp_path / "mp3db"
+    db.mkdir()
+    encode_mp3(sig, sr, str(db / "clip-0.mp3"))
+    phone_list = tmp_path / "phones.txt"
+    phone_list.write_text("clip-0 0 0 0\n")
+    out = str(tmp_path / "resampled")
+    rc = main([str(db), str(phone_list), out, "--out_sample_rate", "16000",
+               "--file_extension", ".mp3"])
+    assert rc == 0
+    with wave.open(os.path.join(out, "clip-0.wav"), "rb") as w:
+        assert w.getframerate() == 16000
+        data = np.frombuffer(w.readframes(w.getnframes()),
+                             "<i2").astype(np.float32) / 32768.0
+    # resampled output still correlates with the source tone
+    ref = (0.4 * np.sin(2 * np.pi * 523 * np.arange(16000) / 16000)
+           ).astype(np.float32)
+    corr = np.correlate(data[:8000], ref[:4000], "valid")
+    off = int(np.argmax(corr))
+    c = np.corrcoef(data[off:off + 8000], ref[:8000])[0, 1]
+    assert c > 0.95, (off, c)
