@@ -30,6 +30,11 @@ VALID_HEADS = ("transformer", "RNN", "LSTM", "linear", "ffd",
                "conv4", "conv8", "conv12")
 
 
+def _use_stacked_heads() -> bool:
+    import os
+    return os.environ.get("CPC_STACKED_HEADS", "1") != "0"
+
+
 class _LinearHead(nn.Module):
     """Plain linear head with the residual-style init for dimEnc > dimAR
     (criterion.py:90-95)."""
@@ -141,17 +146,26 @@ class PredictionNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, c: jax.Array, train: bool = False) -> jax.Array:
-        head_cls, kwargs = _make_head(self.rnn_mode, self.dim_output_encoder,
-                                      self.size_input_seq)
-        Stacked = nn.vmap(
-            head_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            in_axes=(None, None),
-            out_axes=0,
-            axis_size=self.n_predicts,
-        )
-        preds = Stacked(name="heads", **kwargs)(c, train)  # (K, B, W, C')
+        if self.rnn_mode == "transformer" and _use_stacked_heads():
+            # merged-matmul implementation, identical param tree
+            # (stacked_heads.py; CPC_STACKED_HEADS=0 restores nn.vmap)
+            from .stacked_heads import StackedTransformerHeads
+            preds = StackedTransformerHeads(
+                self.n_predicts, self.dim_output_encoder,
+                self.size_input_seq, name="heads")(c, train)
+        else:
+            head_cls, kwargs = _make_head(self.rnn_mode,
+                                          self.dim_output_encoder,
+                                          self.size_input_seq)
+            Stacked = nn.vmap(
+                head_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(None, None),
+                out_axes=0,
+                axis_size=self.n_predicts,
+            )
+            preds = Stacked(name="heads", **kwargs)(c, train)  # (K,B,W,C')
         if self.dropout:
             preds = nn.Dropout(0.5, deterministic=not train)(preds)
         return preds

@@ -1,0 +1,216 @@
+"""K-stacked transformer prediction heads with merged-matmul compute.
+
+The nn.vmap'd TransformerLayer heads (prediction.py) are mathematically
+K independent layers applied to the SAME context input c.  Under vmap,
+XLA lowers the projections and FFN as 12-way batched matmuls over
+awkward (K,B,W,C) layouts that measured ~10-15%% MXU efficiency on v5e
+(docs/PERFORMANCE.md).  This module holds the IDENTICAL parameter tree
+(heads/layer0/...; converter and checkpoints untouched) but computes:
+
+  * Q/K/V for all K heads as ONE (B*W, C) x (C, 3*K*C) matmul — the
+    shared input makes the per-head projections (and their weight
+    gradients, (C, B*W) x (B*W, 3*K*C)) a single full-width MXU op;
+  * attention through the fused Pallas kernel (ops/pallas/attention.py)
+    over all K*B*h rows at once;
+  * Wo / FFN as K-batched matmuls over merged (K, B*W, C) shapes.
+
+Reference semantics covered: PredictionNetwork with transformer heads
+(criterion.py:82-88) == buildTransformerAR 1-layer causal transformer
+with Shaw rel-pos (transformers.py:98-111).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.transformer import _torch_linear_init
+
+
+class _Kernel(nn.Module):
+    """Parameter holder producing the same scope/name as a vmapped Dense."""
+
+    shape: Tuple[int, ...]
+    init: Callable
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", self.init, self.shape)
+
+
+class _StackedMHA(nn.Module):
+    """Params mirror nn.vmap(MultiHeadAttention); returns (K,B,S,D)."""
+
+    n_predicts: int
+    dmodel: int
+    size_seq: int
+    nheads: int = 8
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, c: jax.Array, train: bool = False) -> jax.Array:
+        K, D, S = self.n_predicts, self.dmodel, c.shape[1]
+        B = c.shape[0]
+        h, dk = self.nheads, D // self.nheads
+        init = _torch_linear_init(D)
+        wq = _Kernel((K, D, D), init, name="Wq")()
+        wk = _Kernel((K, D, D), init, name="Wk")()
+        wv = _Kernel((K, D, D), init, name="Wv")()
+        wo = _Kernel((K, D, D), init, name="Wo")()
+        krel = self.param("Krelpos", _torch_linear_init(dk),
+                          (K, dk, self.size_seq))
+
+        # one merged projection: (B*S, D) @ (D, 3*K*D)
+        w_all = jnp.concatenate([wq, wk, wv], axis=0)          # (3K, D, D)
+        w_all = w_all.transpose(1, 0, 2).reshape(D, 3 * K * D)
+        c2 = c.reshape(B * S, D)
+        qkv = (c2 @ w_all.astype(c.dtype)).reshape(B, S, 3, K, h, dk)
+        qkv = qkv.transpose(2, 3, 0, 4, 1, 5)                   # (3,K,B,h,S,dk)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        # Shaw rel-pos skew bias (transformers.py:23-26,42-47)
+        qp = jnp.einsum("kbhsd,kdr->kbhsr", q,
+                        krel[:, :, :S].astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+        z = jnp.zeros((K, B, h, S, 1), qp.dtype)
+        qp = jnp.concatenate([z, qp], axis=4)
+        bias = qp.reshape(K, B, h, S + 1, S)[:, :, :, 1:, :]    # (K,B,h,S,S)
+
+        from ..ops.pallas.attention import (fused_attention_supported,
+                                            fused_causal_attention,
+                                            interpret_mode,
+                                            use_fused_attention)
+        rate = self.dropout if train else 0.0
+        if use_fused_attention() and fused_attention_supported(S, dk,
+                                                               K * B * h):
+            seed = jnp.zeros((1,), jnp.float32)
+            if rate > 0.0:
+                rng = self.make_rng("dropout")
+                bits = jax.random.key_data(rng) \
+                    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else rng
+                seed = (jnp.asarray(bits).reshape(-1)[-1:]
+                        % jnp.uint32(2 ** 30)).astype(jnp.float32)
+            y = fused_causal_attention(
+                q.reshape(K * B * h, S, dk), k.reshape(K * B * h, S, dk),
+                v.reshape(K * B * h, S, dk),
+                bias.astype(q.dtype).reshape(K * B * h, S, S), seed, rate,
+                interpret_mode())
+            y = y.reshape(K, B, h, S, dk)
+        else:
+            logits = jnp.einsum("kbhqd,kbhxd->kbhqx", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = (logits + bias) / math.sqrt(dk)
+            mask = jnp.tril(jnp.ones((S, S), bool))
+            logits = jnp.where(mask, logits, -jnp.inf)
+            attn = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            y = jnp.einsum("kbhqx,kbhxd->kbhqd", attn, v,
+                           preferred_element_type=jnp.float32).astype(c.dtype)
+
+        y = y.transpose(0, 1, 3, 2, 4).reshape(K, B * S, D)     # (K,M,D)
+        out = jnp.einsum("kmd,kdo->kmo", y, wo.astype(y.dtype),
+                         preferred_element_type=jnp.float32).astype(c.dtype)
+        return out.reshape(K, B, S, D)
+
+
+class _StackedLN(nn.Module):
+    """Params mirror nn.vmap(LayerNorm): weight/bias (K, D)."""
+
+    n_predicts: int
+    dmodel: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("weight", nn.initializers.ones,
+                       (self.n_predicts, self.dmodel))
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.n_predicts, self.dmodel))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        shape = (self.n_predicts,) + (1,) * (x.ndim - 2) + (self.dmodel,)
+        return y * w.reshape(shape).astype(x.dtype) \
+            + b.reshape(shape).astype(x.dtype)
+
+
+class _StackedFFN(nn.Module):
+    """Params mirror nn.vmap(FFNetwork); batched (K, M, D) matmuls."""
+
+    n_predicts: int
+    dmodel: int
+    dff: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        K, D, F = self.n_predicts, self.dmodel, self.dff
+        i1, i2 = _torch_linear_init(D), _torch_linear_init(F)
+
+        class _Lin(nn.Module):
+            shape: Tuple[int, ...]
+            init: Callable
+
+            @nn.compact
+            def __call__(self):
+                w = self.param("kernel", self.init, self.shape)
+                b = self.param("bias", self.init, self.shape[::2])
+                return w, b
+
+        w1, b1 = _Lin((K, D, F), i1, name="lin1")()
+        w2, b2 = _Lin((K, F, D), i2, name="lin2")()
+        _, B, S, _ = x.shape
+        m = x.reshape(K, B * S, D)
+        h = jnp.einsum("kmd,kdf->kmf", m, w1.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        h = nn.relu(h + b1[:, None, :].astype(x.dtype))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        y = jnp.einsum("kmf,kfd->kmd", h, w2.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y + b2[:, None, :].astype(x.dtype)
+        return y.reshape(K, B, S, D)
+
+
+class _Layer0(nn.Module):
+    n_predicts: int
+    dmodel: int
+    size_seq: int
+    nheads: int = 8
+    dff: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, c: jax.Array, train: bool = False) -> jax.Array:
+        att = _StackedMHA(self.n_predicts, self.dmodel, self.size_seq,
+                          self.nheads, self.dropout,
+                          name="multihead")(c, train)
+        x = c[None] + att                                    # (K,B,S,D)
+        y = _StackedLN(self.n_predicts, self.dmodel,
+                       name="ln_multihead")(x)
+        ff = _StackedFFN(self.n_predicts, self.dmodel, self.dff,
+                         self.dropout, name="ffnetwork")(y, train)
+        return _StackedLN(self.n_predicts, self.dmodel,
+                          name="ln_ffnetwork")(y + ff)
+
+
+class StackedTransformerHeads(nn.Module):
+    """All K transformer prediction heads in one pass; the parameter tree
+    is identical to nn.vmap(_TransformerHead) (same scopes/names/shapes),
+    so converted checkpoints and the existing vmapped path interchange."""
+
+    n_predicts: int
+    dmodel: int
+    size_seq: int
+    nheads: int = 8
+    dff: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, c: jax.Array, train: bool = False) -> jax.Array:
+        return _Layer0(self.n_predicts, self.dmodel, self.size_seq,
+                       self.nheads, self.dff, self.dropout,
+                       name="layer0")(c, train)

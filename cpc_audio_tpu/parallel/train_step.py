@@ -30,6 +30,17 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .mesh import DATA_AXIS
 
 
+def _rbg_key(key):
+    """Dropout stream as an 'rbg' key: hardware-backed bit generation is
+    ~3 ms/step cheaper than threefry at the bench config (same-session
+    A/B, docs/PERFORMANCE.md).  Dropout only needs statistical
+    independence; negative SAMPLING stays threefry for reproducibility."""
+    bits = jax.random.key_data(key) \
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key
+    return jax.random.wrap_key_data(jnp.tile(bits.reshape(-1)[:2], 2),
+                                    impl="rbg")
+
+
 class TrainState(NamedTuple):
     params: Any          # {"model": ..., "criterion": ...}
     batch_stats: Any     # {} when the encoder has no batchNorm
@@ -113,7 +124,7 @@ def make_train_step(model, criterion, optimizer, mesh: Mesh,
     def step_impl(state: TrainState, batch, labels, hidden, key, lr):
         dev_key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
         k_sample, k_drop = jax.random.split(dev_key)
-        rngs = {"sampling": k_sample, "dropout": k_drop}
+        rngs = {"sampling": k_sample, "dropout": _rbg_key(k_drop)}
 
         def loss_fn(params):
             losses, accs, new_stats, hid = _forward_loss(

@@ -280,3 +280,39 @@ def test_infonce_stop_grad_negatives(rng):
         g = np.asarray(jax.grad(loss)(z))
         assert np.isfinite(g).all()
         assert np.abs(g).max() > 0  # positives path always contributes
+
+
+def test_stacked_transformer_heads_match_vmap(monkeypatch):
+    """StackedTransformerHeads (merged-matmul compute) is bit-compatible
+    with the nn.vmap'd TransformerLayer heads: same param tree, same
+    forward, matching grads."""
+    import jax.tree_util as tu
+
+    from cpc_audio_tpu.criterion.prediction import PredictionNetwork
+
+    K, B, W, C = 4, 3, 20, 32
+    rng = np.random.RandomState(0)
+    c = jnp.asarray(rng.randn(B, W, C), jnp.float32)
+    net = PredictionNetwork(K, C, "transformer", False, size_input_seq=W)
+
+    monkeypatch.setenv("CPC_STACKED_HEADS", "0")
+    v = net.init({"params": jax.random.PRNGKey(0)}, c)
+    y_vmap = net.apply(v, c)
+    monkeypatch.setenv("CPC_STACKED_HEADS", "1")
+    v2 = net.init({"params": jax.random.PRNGKey(0)}, c)
+    assert tu.tree_map(lambda x: x.shape, v["params"]) \
+        == tu.tree_map(lambda x: x.shape, v2["params"])
+    y_stacked = net.apply(v, c)
+    np.testing.assert_allclose(np.asarray(y_stacked), np.asarray(y_vmap),
+                               atol=1e-5)
+
+    def loss(params, flag):
+        monkeypatch.setenv("CPC_STACKED_HEADS", flag)
+        return jnp.sum(net.apply({"params": params}, c) ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, "0"))(v["params"])
+    g2 = jax.grad(lambda p: loss(p, "1"))(v["params"])
+    for (p1, l1), (_, l2) in zip(tu.tree_leaves_with_path(g1),
+                                 tu.tree_leaves_with_path(g2)):
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   atol=2e-4, err_msg=str(p1))
