@@ -160,3 +160,51 @@ def test_uniform_loader_shapes():
         assert windows.dtype == np.float32
         count += 1
     assert count == len(loader) or count == len(loader) - 1
+
+
+def test_same_speaker_plan_tail_resampling_stats():
+    """The samespeaker plan completes ragged tail batches by re-sampling
+    within the SAME interval (docs/DESIGN.md deviation): every window is
+    covered at least once per epoch, duplicates are bounded by the tail
+    padding, and no batch mixes intervals."""
+    import random as pyrandom
+
+    from cpc_audio_tpu.data.dataset import same_speaker_batch_plan
+    rng = pyrandom.Random(0)
+    size_window, batch_size = 10, 4
+    # intervals: speaker sizes 7, 9, 2 windows (all ragged), one empty
+    intervals = np.array([0, 70, 160, 180, 180])
+    plan = same_speaker_batch_plan(intervals, size_window, batch_size, 0,
+                                   rng)
+    assert plan.shape[1] == batch_size
+    starts = plan.reshape(-1)
+    window_ids = starts // size_window
+    # batch -> interval containment: all windows of a row share an interval
+    for row in plan:
+        owner = np.searchsorted(intervals, row, side="right")
+        assert len(set(owner.tolist())) == 1, row
+    # full coverage: every window of every nonempty interval appears
+    expected = set()
+    for i in range(len(intervals) - 1):
+        n = (intervals[i + 1] - intervals[i]) // size_window
+        expected |= {intervals[i] // size_window + j for j in range(int(n))}
+    assert set(window_ids.tolist()) == expected
+    # duplication bounded: total emitted windows <= windows + padding
+    n_windows = sum((np.diff(intervals) // size_window).astype(int))
+    n_batches_expected = sum(
+        -(-int(n) // batch_size)
+        for n in (np.diff(intervals) // size_window) if n > 0)
+    assert plan.shape[0] == n_batches_expected
+    assert len(starts) - n_windows < n_batches_expected * batch_size \
+        - n_windows + 1
+    # duplicates only appear in tail-completed batches: for intervals with
+    # >= batch_size windows the tail draws WITHOUT replacement (max 2 uses
+    # per window); tiny intervals (< batch_size) may repeat further
+    unique, counts = np.unique(window_ids, return_counts=True)
+    big = np.isin(unique, [j for i in range(len(intervals) - 1)
+                           if (intervals[i + 1] - intervals[i])
+                           // size_window >= batch_size
+                           for j in range(intervals[i] // size_window,
+                                          intervals[i + 1] // size_window)])
+    assert counts[big].max() <= 2
+    assert counts.max() <= batch_size

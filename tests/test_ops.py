@@ -1,5 +1,4 @@
-"""On-device op tests: anti-diagonal DTW vs the native/python golden, and
-the pallas scoring kernel in interpret mode."""
+"""On-device op tests: anti-diagonal DTW vs the native/python golden."""
 
 import numpy as np
 import pytest
@@ -9,8 +8,6 @@ import jax.numpy as jnp
 
 from cpc_audio_tpu.eval.abx.group_computation import _dtw_py
 from cpc_audio_tpu.ops.dtw_jax import dtw_batch_device, dtw_pairwise_device
-from cpc_audio_tpu.ops.pallas.scoring import (fused_negative_scores,
-                                              reference_negative_scores)
 
 
 def test_dtw_device_matches_python():
@@ -48,16 +45,6 @@ def test_dtw_device_degenerate_sizes():
                                       jnp.asarray([1]), jnp.asarray([1])))
     assert abs(out[0] - 3.0) < 1e-6
 
-
-def test_pallas_scoring_interpret_matches_reference():
-    rng = np.random.RandomState(2)
-    K, B, W, C, N, S = 3, 4, 16, 32, 8, 24
-    preds = jnp.asarray(rng.randn(K, B, W, C).astype(np.float32))
-    z = jnp.asarray(rng.randn(B * S, C).astype(np.float32))
-    idx = jnp.asarray(rng.randint(0, B * S, (B, N, W)).astype(np.int32))
-    ref = reference_negative_scores(preds, z, idx)
-    got = fused_negative_scores(preds, z, idx, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
 def _lstm_ref(xp, w_hh, h0, c0):
