@@ -96,3 +96,37 @@ def test_sharded_step_equals_manual_dataparallel_replay():
                                    atol=1e-6, err_msg=str(path))
     np.testing.assert_allclose(np.asarray(metrics["losses"]),
                                np.mean(all_losses, axis=0), rtol=1e-5)
+
+
+def test_two_process_multihost_train_step():
+    """2-process jax.distributed simulation (CPU, 2 virtual devices per
+    process): one REAL sharded train step over the global 4-device mesh.
+    Both processes must report identical losses and an identical
+    post-update parameter checksum — the gradient psum crosses the
+    process boundary."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, worker, str(i), str(port)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env)
+             for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=500)
+        text = out.decode()
+        assert p.returncode == 0, f"proc{i} failed:\n{text[-2000:]}"
+        m = re.search(r"MHOK proc%d losses=(\[.*?\]) chk=([\d.]+)" % i, text)
+        assert m, text[-2000:]
+        outs.append((m.group(1), m.group(2)))
+    assert outs[0] == outs[1], outs
