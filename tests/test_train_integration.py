@@ -167,3 +167,33 @@ def test_restart_flag_ignores_checkpoint(tmp_path):
     with open(os.path.join(out, "checkpoint_logs.json")) as f:
         logs = json.load(f)
     assert logs["epoch"] == [0]  # fresh run, not resumed to epoch 2
+
+
+def test_load_model_multi_checkpoint_concatenated(tmp_path):
+    """loadModel with several checkpoints builds a ConcatenatedModel whose
+    features are the per-model concatenation (reference
+    feature_loader.py:156-199), end-to-end through build_feature."""
+    import glob
+
+    from cpc_audio_tpu.feature_loader import (FeatureModule, build_feature,
+                                              load_model)
+    outs = []
+    for seed in (3, 4):
+        out = str(tmp_path / f"ckpt{seed}")
+        rc = _run_main(SMALL + ["--pathDB", DB, "--nEpoch", "1",
+                                "--save_step", "1", "--random_seed",
+                                str(seed), "--pathCheckpoint", out])
+        assert rc == 0
+        outs.append(os.path.join(out, "checkpoint_0.pt"))
+
+    model, variables, hidden_gar, hidden_encoder = load_model(outs)
+    m0, v0, hg0, he0 = load_model([outs[0]])
+    assert hidden_gar == 2 * hg0 and hidden_encoder == 2 * he0
+
+    flac = glob.glob(os.path.join(DB, "*", "*", "*.flac"))[0]
+    f_cat = build_feature(FeatureModule(model, variables), flac)
+    f_one = build_feature(FeatureModule(m0, v0), flac)
+    assert f_cat.shape[2] == 2 * f_one.shape[2]
+    # first half of the concatenated features == the first model's features
+    np.testing.assert_allclose(np.asarray(f_cat[..., :f_one.shape[2]]),
+                               np.asarray(f_one), atol=1e-5)
