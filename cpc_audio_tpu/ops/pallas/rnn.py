@@ -29,9 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 def _vmem_chunk_cap(B: int, G: int, H: int) -> int:
     """Max timesteps per block keeping the kernel's double-buffered VMEM
     footprint (~12 bytes per (b, t) element of gate width + hidden width)
-    under the 16 MB budget with headroom for weights and scratch."""
+    under budget with headroom for weights and scratch.  No lower floor:
+    a batch too large for even one 8-step chunk must return < 8 so callers
+    fall back to lax.scan (B=128 at the default config OOMs scoped VMEM
+    otherwise — observed 23 MB vs the 16 MB limit)."""
     bytes_per_tc = 12 * B * (G + H)
-    return max(8, int(14e6) // max(bytes_per_tc, 1))
+    return int(10e6) // max(bytes_per_tc, 1)
 
 
 def _pick_chunk(T: int, B: int = 32, G: int = 1024, H: int = 256) -> int:

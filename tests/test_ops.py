@@ -127,3 +127,14 @@ def test_pallas_gru_interpret_fwd_bwd():
     for a, b in zip(jax.grad(loss_ref)(args), jax.grad(loss_pal)(args)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_vmem_gate_rejects_oversized_batch():
+    """B=128 at the default LSTM config must fall back to lax.scan — the
+    fused kernel's scoped-VMEM footprint exceeds the 16 MB limit there
+    (observed compile-time OOM before this gate)."""
+    from cpc_audio_tpu.ops.pallas.rnn import (_pick_chunk,
+                                              pallas_rnn_supported)
+    assert pallas_rnn_supported(128, 32, 1024, 256)
+    assert _pick_chunk(128, 64, 1024, 256) in (0, 8)
+    assert not pallas_rnn_supported(128, 128, 1024, 256)
