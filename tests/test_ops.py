@@ -138,3 +138,34 @@ def test_vmem_gate_rejects_oversized_batch():
     assert pallas_rnn_supported(128, 32, 1024, 256)
     assert _pick_chunk(128, 64, 1024, 256) in (0, 8)
     assert not pallas_rnn_supported(128, 128, 1024, 256)
+
+
+@pytest.mark.parametrize("J,C,R,ck,su", [(20000, 64, 512, 64, 1024),
+                                         (50000, 128, 1024, 128, 2048)])
+def test_pallas_scatter_add_matches_xla(J, C, R, ck, su):
+    """scatter_add_rows (sorted range-chunked one-hot matmuls) matches the
+    XLA scatter in f32, including the aligned-window spill masking."""
+    from cpc_audio_tpu.ops.pallas.scatter_add import scatter_add_rows
+    rng = np.random.RandomState(0)
+    upd = jnp.asarray(rng.randn(J, C), jnp.bfloat16)
+    keys = jnp.asarray(rng.randint(0, R, J), jnp.int32)
+    out = scatter_add_rows(upd, keys, R, chunk_rows=ck, sub_updates=su,
+                           interpret=True)
+    ref = jnp.zeros((R, C), jnp.float32).at[keys].add(
+        upd.astype(jnp.float32))
+    rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 1e-5, rel
+
+
+def test_pallas_scatter_add_skew_fallback():
+    """A destination distribution exceeding the window capacity must fall
+    back to the exact XLA scatter (all keys -> one row)."""
+    from cpc_audio_tpu.ops.pallas.scatter_add import scatter_add_rows
+    rng = np.random.RandomState(1)
+    upd = jnp.asarray(rng.randn(20000, 64), jnp.bfloat16)
+    keys = jnp.zeros((20000,), jnp.int32)
+    out = scatter_add_rows(upd, keys, 512, chunk_rows=64,
+                           sub_updates=1024, interpret=True)
+    ref = jnp.zeros((512, 64), jnp.float32).at[keys].add(
+        upd.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
