@@ -72,10 +72,13 @@ class _StackedMHA(nn.Module):
         qkv = qkv.transpose(2, 3, 0, 4, 1, 5)                   # (3,K,B,h,S,dk)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        # Shaw rel-pos skew bias (transformers.py:23-26,42-47)
-        qp = jnp.einsum("kbhsd,kdr->kbhsr", q,
-                        krel[:, :, :S].astype(q.dtype),
-                        preferred_element_type=jnp.float32)
+        # Shaw rel-pos skew bias (transformers.py:23-26,42-47).
+        # Stays in the compute dtype: the MXU accumulates in f32 internally
+        # either way, and a bf16 qp keeps the (K,B,h,S,S) bias tensor AND
+        # the backward's dKrelpos/dq matmuls in bf16 (an f32
+        # preferred_element_type here makes every backward cotangent f32:
+        # ~3x slower MXU ops + double HBM traffic; docs/PERFORMANCE.md).
+        qp = jnp.einsum("kbhsd,kdr->kbhsr", q, krel[:, :, :S].astype(q.dtype))
         z = jnp.zeros((K, B, h, S, 1), qp.dtype)
         qp = jnp.concatenate([z, qp], axis=4)
         bias = qp.reshape(K, B, h, S + 1, S)[:, :, :, 1:, :]    # (K,B,h,S,S)
@@ -108,13 +111,12 @@ class _StackedMHA(nn.Module):
             logits = jnp.where(mask, logits, -jnp.inf)
             attn = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
             attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-            y = jnp.einsum("kbhqx,kbhxd->kbhqd", attn, v,
-                           preferred_element_type=jnp.float32).astype(c.dtype)
+            y = jnp.einsum("kbhqx,kbhxd->kbhqd", attn, v).astype(c.dtype)
 
         y = y.transpose(0, 1, 3, 2, 4).reshape(K, B * S, D)     # (K,M,D)
-        out = jnp.einsum("kmd,kdo->kmo", y, wo.astype(y.dtype),
-                         preferred_element_type=jnp.float32).astype(c.dtype)
-        return out.reshape(K, B, S, D)
+        # bf16 in/out (f32 MXU accumulation is internal); see qp note above.
+        out = jnp.einsum("kmd,kdo->kmo", y, wo.astype(y.dtype))
+        return out.reshape(K, B, S, D).astype(c.dtype)
 
 
 class _StackedLN(nn.Module):
@@ -165,12 +167,13 @@ class _StackedFFN(nn.Module):
         w2, b2 = _Lin((K, F, D), i2, name="lin2")()
         _, B, S, _ = x.shape
         m = x.reshape(K, B * S, D)
-        h = jnp.einsum("kmd,kdf->kmf", m, w1.astype(x.dtype),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        # compute-dtype einsums: f32 accumulation happens inside the MXU;
+        # emitting f32 here would force the whole FFN backward (dW1/dW2/dx)
+        # into f32 matmuls (docs/PERFORMANCE.md, round-2 A/B).
+        h = jnp.einsum("kmd,kdf->kmf", m, w1.astype(x.dtype))
         h = nn.relu(h + b1[:, None, :].astype(x.dtype))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        y = jnp.einsum("kmf,kfd->kmd", h, w2.astype(x.dtype),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.einsum("kmf,kfd->kmd", h, w2.astype(x.dtype))
         y = y + b2[:, None, :].astype(x.dtype)
         return y.reshape(K, B, S, D)
 

@@ -85,8 +85,10 @@ class MultiHeadAttention(nn.Module):
                 _torch_linear_init(dk),
                 (dk, self.size_seq),
             ).astype(q.dtype)
-            qp = jnp.einsum("bhqd,dr->bhqr", q, krel,
-                            preferred_element_type=jnp.float32)
+            # compute-dtype einsum: the MXU accumulates in f32 internally;
+            # an f32 preferred_element_type would force the backward's
+            # dKrelpos/dq matmuls into f32 (docs/PERFORMANCE.md round-2).
+            qp = jnp.einsum("bhqd,dr->bhqr", q, krel)
             z = jnp.zeros((B, h, S, 1), qp.dtype)
             qp = jnp.concatenate([z, qp], axis=3)          # (B,h,S,S+1)
             bias = qp.reshape(B, h, S + 1, S)[:, :, 1:, :]  # skew ->(B,h,S,S)
@@ -124,8 +126,7 @@ class MultiHeadAttention(nn.Module):
             logits = jnp.where(mask, logits, -jnp.inf)
             attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
             attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-            y = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
+            y = jnp.einsum("bhqk,bhkd->bhqd", attn, v).astype(x.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(B, S, self.dmodel)
         return Dense(self.dmodel, use_bias=False, name="Wo")(y)
 

@@ -115,6 +115,32 @@ def main():
     if "crit_notrain" in which:
         results["crit_notrain"] = criterion_bench(False, train=False)
 
+    if "model" in which:
+        # encoder + AR fwd+bwd alone (no criterion): the non-criterion
+        # share of the step.
+        from cpc_audio_tpu.models import build_model
+        model = build_model(config)
+        x = jnp.asarray(rng.randn(B, 1, config.sizeWindow), np.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+        cot_c = jnp.asarray(rng.randn(B, S, C), jnp.bfloat16)
+        cot_z = jnp.asarray(rng.randn(B, S, C), jnp.bfloat16)
+
+        @jax.jit
+        def fwd_bwd(params, x):
+            def loss(p, x):
+                c, z, _, _ = model.apply({"params": p}, x, None, train=True)
+                return jnp.sum((c * cot_c).astype(jnp.float32)) \
+                    + jnp.sum((z * cot_z).astype(jnp.float32))
+            l, _ = jax.value_and_grad(loss, argnums=(0,))(params, x)
+            return l
+
+        def run(k):
+            l = None
+            for _ in range(k):
+                l = fwd_bwd(variables["params"], x)
+            np.asarray(l)
+        results["model"] = slope_time(run)
+
     if "neg" in which:
         # gather + scoring + CE alone (no prediction heads), grads wrt
         # (preds, z) — the negative-path cost the heads bench excludes.
