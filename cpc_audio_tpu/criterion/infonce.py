@@ -7,13 +7,15 @@ negative sampler ``sampleClean`` (criterion.py:174-219).
 TPU-first design decisions:
   * Negatives are drawn once per batch with the reference's exact modular
     offset scheme (time index = (w + U[1,S)) mod S, so a negative never sits
-    at the anchor's own frame offset) and gathered as ONE (B, N, W, C)
+    at the anchor's own frame offset) and gathered as ONE (B, W, N, C)
     tensor shared by every prediction step — one gather instead of K.
   * Scoring is two einsum contractions, 'kbwc,kbwc->kbw' (positives) and
-    'kbwc,bnwc->kbnw' (negatives), which XLA maps to MXU batched matmuls;
-    the reference's per-step python loop and (B,1+N,W,C) concat never
-    materialize.  Scores are means over C (criterion.py:116), preserving the
-    reference's softmax temperature.
+    'kbwc,bwnc->kbwn' (negatives), which XLA maps to MXU batched matmuls
+    with the candidate axis MINOR (softmax on lanes); the reference's
+    per-step python loop and (B,1+N,W,C) concat never materialize, and the
+    CE is a logsumexp that never builds the full log-probability tensor.
+    Scores are means over C (criterion.py:116), preserving the reference's
+    softmax temperature.
   * Randomness comes from the linen 'sampling' RNG collection, so under
     shard_map each device folds its own key — reproducing the reference's
     per-GPU-shard sampling semantics (train.py:372-375).
@@ -50,9 +52,13 @@ def sample_negatives(key: jax.Array, encoded_data: jax.Array,
                      window_size: int, n_negative: int) -> jax.Array:
     """Within-batch negative sampling (criterion.py:174-201).
 
-    encoded_data: (B, S, C).  Returns (B, N, W, C) negatives where
-    neg[b, n, w] = z[b', (w + u) % S] with b' ~ U[0,B), u ~ U[1,S) drawn
+    encoded_data: (B, S, C).  Returns (B, W, N, C) negatives where
+    neg[b, w, n] = z[b', (w + u) % S] with b' ~ U[0,B), u ~ U[1,S) drawn
     independently per (b, n, w) — the reference's exact scheme.
+
+    Layout note: candidates are laid out (B, W, N, C) — w-major — so the
+    scoring einsum is a clean (b, w)-batched (N, C) x (C, K) matmul and the
+    softmax axis downstream is minor (docs/PERFORMANCE.md round 2).
     """
     B, S, C = encoded_data.shape
     k1, k2 = jax.random.split(key)
@@ -60,21 +66,22 @@ def sample_negatives(key: jax.Array, encoded_data: jax.Array,
     seq_off = jax.random.randint(k2, (B, n_negative, window_size), 1, S)
     base = jnp.arange(window_size)[None, None, :]
     seq_idx = (seq_off + base) % S
-    flat_idx = (batch_idx * S + seq_idx).reshape(-1)
+    flat_idx = (batch_idx * S + seq_idx).transpose(0, 2, 1).reshape(-1)
     neg = jnp.take(encoded_data.reshape(B * S, C), flat_idx, axis=0)
-    return neg.reshape(B, n_negative, window_size, C)
+    return neg.reshape(B, window_size, n_negative, C)
 
 
 def sample_negatives_rolled(key: jax.Array, encoded_data: jax.Array,
                             window_size: int, n_negative: int) -> jax.Array:
     """Structured negative sampling: one (row, offset) pair per (b, n).
 
-    neg[b, n, w] = z[b', (u + w) % S] with b' ~ U[0,B), u ~ U[1,S) drawn
+    neg[b, w, n] = z[b', (u + w) % S] with b' ~ U[0,B), u ~ U[1,S) drawn
     per (b, n) — each negative is a contiguous (mod-S) window of a random
     batch row.  EXPERIMENTAL alternative semantics (negatives within one
     candidate share a time offset); measured no faster than exact mode on
     v5e (XLA lowers the slab gather's backward no better than the row
     scatter), so `exact` remains the default and the recommendation.
+    Returns (B, W, N, C) like ``sample_negatives``.
     """
     B, S, C = encoded_data.shape
     k1, k2 = jax.random.split(key)
@@ -88,7 +95,7 @@ def sample_negatives_rolled(key: jax.Array, encoded_data: jax.Array,
         return jax.lax.dynamic_slice(flat, (i0, 0), (window_size, C))
 
     neg = jax.vmap(one)(starts)
-    return neg.reshape(B, n_negative, window_size, C)
+    return neg.reshape(B, n_negative, window_size, C).transpose(0, 2, 1, 3)
 
 
 def stack_positives(encoded_data: jax.Array, n_predicts: int,
@@ -166,7 +173,7 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         sampler = sample_negatives_rolled if self.sampling_mode == "rolled" \
             else sample_negatives
         neg = sampler(key, encoded_data, W,
-                      self.negative_sampling_ext)           # (B,N,W,C)
+                      self.negative_sampling_ext)           # (B,W,N,C)
         if self.stop_grad_negatives:
             # Opt-in objective change: drops the repulsion gradient through
             # negative encodings; kills the ~500k-row scatter-add in the
@@ -186,15 +193,24 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         # score = mean over channels of pred*candidate (criterion.py:116).
         # Inputs stay in their compute dtype (bf16 halves the HBM traffic of
         # the gathered negatives); the MXU accumulates in f32.
+        # Layout: candidates MINOR — neg_score (K,B,W,N) keeps the softmax /
+        # max reductions on the fast (lane) axis; the reference's
+        # (K,B,1+N,W) orientation put them on a strided axis (measured
+        # ~1.5 ms/step of select/copy fusions, docs/PERFORMANCE.md).
         pos_score = jnp.einsum("kbwc,kbwc->kbw", preds, pos,
                                preferred_element_type=f32) / C
-        neg_score = jnp.einsum("kbwc,bnwc->kbnw", preds, neg,
+        neg_score = jnp.einsum("kbwc,bwnc->kbwn", preds, neg,
                                preferred_element_type=f32) / C
 
-        logits = jnp.concatenate([pos_score[:, :, None, :], neg_score],
-                                 axis=2)                       # (K,B,1+N,W)
-        log_probs = jax.nn.log_softmax(logits, axis=2)
-        losses = -jnp.mean(log_probs[:, :, 0, :], axis=(1, 2))  # (K,)
-        acc = jnp.mean((jnp.argmax(logits, axis=2) == 0).astype(f32),
-                       axis=(1, 2))                              # (K,)
+        # CE with the positive as class 0 (criterion.py:248-254), computed
+        # as pos - logsumexp over {pos} u negatives — never materializes the
+        # full log-probability tensor.
+        m = jnp.maximum(jnp.max(neg_score, axis=3), pos_score)  # (K,B,W)
+        lse = m + jnp.log(
+            jnp.sum(jnp.exp(neg_score - m[..., None]), axis=3)
+            + jnp.exp(pos_score - m))
+        losses = -jnp.mean(pos_score - lse, axis=(1, 2))         # (K,)
+        # argmax == 0 semantics: ties resolve to the positive (index 0).
+        acc = jnp.mean((pos_score >= jnp.max(neg_score, axis=3)).astype(f32),
+                       axis=(1, 2))                               # (K,)
         return losses, acc

@@ -63,33 +63,31 @@ class _StackedMHA(nn.Module):
         wo = _Kernel((K, D, D), init, name="Wo")()
         krel = self.param("Krelpos", _torch_linear_init(dk),
                           (K, dk, self.size_seq))
+        # When the caller pre-padded the sequence beyond size_seq (the
+        # Pallas-tile padding in StackedTransformerHeads), extend Krelpos
+        # with zeros on the LEFT: the skew reads relative position
+        # r = j - i + S - 1, so a left pad of (S - size_seq) keeps
+        # bias[i, j] = q . krel[:, j - i + size_seq - 1] for every valid
+        # pair and contributes exactly 0 for the (unreachable) longer
+        # distances — bit-equal to the unpadded module on the real rows.
+        if S > self.size_seq:
+            krel = jnp.pad(krel, ((0, 0), (0, 0), (S - self.size_seq, 0)))
+        elif S < self.size_seq:
+            krel = krel[:, :, :S]
 
-        # one merged projection: (B*S, D) @ (D, 3*K*D)
-        w_all = jnp.concatenate([wq, wk, wv], axis=0)          # (3K, D, D)
-        w_all = w_all.transpose(1, 0, 2).reshape(D, 3 * K * D)
-        c2 = c.reshape(B * S, D)
-        qkv = (c2 @ w_all.astype(c.dtype)).reshape(B, S, 3, K, h, dk)
-        qkv = qkv.transpose(2, 3, 0, 4, 1, 5)                   # (3,K,B,h,S,dk)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
-        # Shaw rel-pos skew bias (transformers.py:23-26,42-47).
-        # Stays in the compute dtype: the MXU accumulates in f32 internally
-        # either way, and a bf16 qp keeps the (K,B,h,S,S) bias tensor AND
-        # the backward's dKrelpos/dq matmuls in bf16 (an f32
-        # preferred_element_type here makes every backward cotangent f32:
-        # ~3x slower MXU ops + double HBM traffic; docs/PERFORMANCE.md).
-        qp = jnp.einsum("kbhsd,kdr->kbhsr", q, krel[:, :, :S].astype(q.dtype))
-        z = jnp.zeros((K, B, h, S, 1), qp.dtype)
-        qp = jnp.concatenate([z, qp], axis=4)
-        bias = qp.reshape(K, B, h, S + 1, S)[:, :, :, 1:, :]    # (K,B,h,S,S)
-
-        from ..ops.pallas.attention import (fused_attention_supported,
-                                            fused_causal_attention,
-                                            interpret_mode,
-                                            use_fused_attention)
+        from ..ops.pallas.attention import interpret_mode, use_fused_attention
+        from ..ops.pallas.head_attention import (fused_relpos_attention,
+                                                 relpos_attention_supported)
         rate = self.dropout if train else 0.0
-        if use_fused_attention() and fused_attention_supported(S, dk,
-                                                               K * B * h):
+        if use_fused_attention() and relpos_attention_supported(S, dk, h, B):
+            # Natural-layout path: q/k/v as (K, B*S, D) straight out of the
+            # K-batched projections; skew bias, mask, softmax, dropout and
+            # AV all inside ONE Pallas kernel (head_attention.py).  No
+            # (3,K,B,h,S,dk) transposes, no (K,B,h,S,S) bias tensor.
+            c2 = c.reshape(B * S, D)
+            q = jnp.einsum("md,kdo->kmo", c2, wq.astype(c.dtype))
+            k = jnp.einsum("md,kdo->kmo", c2, wk.astype(c.dtype))
+            v = jnp.einsum("md,kdo->kmo", c2, wv.astype(c.dtype))
             seed = jnp.zeros((1,), jnp.float32)
             if rate > 0.0:
                 rng = self.make_rng("dropout")
@@ -97,24 +95,57 @@ class _StackedMHA(nn.Module):
                     if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else rng
                 seed = (jnp.asarray(bits).reshape(-1)[-1:]
                         % jnp.uint32(2 ** 30)).astype(jnp.float32)
-            y = fused_causal_attention(
-                q.reshape(K * B * h, S, dk), k.reshape(K * B * h, S, dk),
-                v.reshape(K * B * h, S, dk),
-                bias.astype(q.dtype).reshape(K * B * h, S, S), seed, rate,
-                interpret_mode())
-            y = y.reshape(K, B, h, S, dk)
+            y = fused_relpos_attention(q, k, v, krel.astype(c.dtype), seed,
+                                       B, h, rate, interpret_mode())
         else:
-            logits = jnp.einsum("kbhqd,kbhxd->kbhqx", q, k,
-                                preferred_element_type=jnp.float32)
-            logits = (logits + bias) / math.sqrt(dk)
-            mask = jnp.tril(jnp.ones((S, S), bool))
-            logits = jnp.where(mask, logits, -jnp.inf)
-            attn = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
-            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-            y = jnp.einsum("kbhqx,kbhxd->kbhqd", attn, v).astype(c.dtype)
+            # Fallback (CPU tests, lane-padded S): merged qkv projection +
+            # the reference's zero-pad/reshape skew
+            # (transformers.py:23-26,42-47), attention through the
+            # bias-input Pallas kernel when it applies, plain XLA softmax
+            # otherwise.
+            from ..ops.pallas.attention import (fused_attention_supported,
+                                                fused_causal_attention)
+            w_all = jnp.concatenate([wq, wk, wv], axis=0)       # (3K, D, D)
+            w_all = w_all.transpose(1, 0, 2).reshape(D, 3 * K * D)
+            c2 = c.reshape(B * S, D)
+            qkv = (c2 @ w_all.astype(c.dtype)).reshape(B, S, 3, K, h, dk)
+            qkv = qkv.transpose(2, 3, 0, 4, 1, 5)               # (3,K,B,h,S,dk)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            # compute-dtype einsum: bf16 cotangents in the backward
+            # (docs/PERFORMANCE.md round 2)
+            qp = jnp.einsum("kbhsd,kdr->kbhsr", q, krel.astype(q.dtype))
+            z = jnp.zeros((K, B, h, S, 1), qp.dtype)
+            qp = jnp.concatenate([z, qp], axis=4)
+            bias = qp.reshape(K, B, h, S + 1, S)[:, :, :, 1:, :]  # (K,B,h,S,S)
+            if use_fused_attention() and fused_attention_supported(
+                    S, dk, K * B * h):
+                seed = jnp.zeros((1,), jnp.float32)
+                if rate > 0.0:
+                    rng = self.make_rng("dropout")
+                    bits = jax.random.key_data(rng) \
+                        if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) \
+                        else rng
+                    seed = (jnp.asarray(bits).reshape(-1)[-1:]
+                            % jnp.uint32(2 ** 30)).astype(jnp.float32)
+                y = fused_causal_attention(
+                    q.reshape(K * B * h, S, dk),
+                    k.reshape(K * B * h, S, dk),
+                    v.reshape(K * B * h, S, dk),
+                    bias.astype(q.dtype).reshape(K * B * h, S, S), seed,
+                    rate, interpret_mode())
+                y = y.reshape(K, B, h, S, dk)
+            else:
+                logits = jnp.einsum("kbhqd,kbhxd->kbhqx", q, k,
+                                    preferred_element_type=jnp.float32)
+                logits = (logits + bias) / math.sqrt(dk)
+                mask = jnp.tril(jnp.ones((S, S), bool))
+                logits = jnp.where(mask, logits, -jnp.inf)
+                attn = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
+                attn = nn.Dropout(self.dropout,
+                                  deterministic=not train)(attn)
+                y = jnp.einsum("kbhqx,kbhxd->kbhqd", attn, v).astype(c.dtype)
+            y = y.transpose(0, 1, 3, 2, 4).reshape(K, B * S, D)  # (K,M,D)
 
-        y = y.transpose(0, 1, 3, 2, 4).reshape(K, B * S, D)     # (K,M,D)
-        # bf16 in/out (f32 MXU accumulation is internal); see qp note above.
         out = jnp.einsum("kmd,kdo->kmo", y, wo.astype(y.dtype))
         return out.reshape(K, B, S, D).astype(c.dtype)
 
@@ -214,6 +245,22 @@ class StackedTransformerHeads(nn.Module):
 
     @nn.compact
     def __call__(self, c: jax.Array, train: bool = False) -> jax.Array:
-        return _Layer0(self.n_predicts, self.dmodel, self.size_seq,
-                       self.nheads, self.dff, self.dropout,
-                       name="layer0")(c, train)
+        from ..ops.pallas.attention import _padded_len, use_fused_attention
+        from ..ops.pallas.head_attention import relpos_attention_supported
+        B, S0, _ = c.shape
+        dk = self.dmodel // self.nheads
+        Sp = _padded_len(S0)
+        # Run the WHOLE stack at the Pallas tile length: padding q/k/v/bias
+        # around the attention kernel (and un-padding their gradients)
+        # measured ~5 ms/step of pure layout ops at the bench config
+        # (docs/PERFORMANCE.md round 2) — one pad of c and one slice of the
+        # output replace all of it.  Causality keeps padded rows out of the
+        # valid rows' attention; the output slice zeroes their cotangents.
+        pad = (Sp != S0 and use_fused_attention()
+               and relpos_attention_supported(Sp, dk, self.nheads, B))
+        if pad:
+            c = jnp.pad(c, ((0, 0), (0, Sp - S0), (0, 0)))
+        out = _Layer0(self.n_predicts, self.dmodel, self.size_seq,
+                      self.nheads, self.dff, self.dropout,
+                      name="layer0")(c, train)
+        return out[:, :, :S0] if pad else out

@@ -16,6 +16,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _grad_probe(tree):
+    """Scalar depending on every gradient leaf.  WITHOUT this, a jit that
+    returns only the loss lets XLA DCE the whole backward pass — early
+    round-2 component numbers silently measured forward-only."""
+    import jax
+    import jax.numpy as jnp
+    return sum(jnp.sum(g.astype(jnp.float32))
+               for g in jax.tree_util.tree_leaves(tree))
+
+
 def slope_time(fn, k1=4, k2=14, reps=3):
     """fn(k) must run k chained iterations and force a readback."""
     fn(3)  # compile + warm
@@ -94,7 +104,7 @@ def main():
                 return jnp.sum(losses)
             l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
                 params, c, z)
-            return l, grads[1]
+            return l + _grad_probe(grads), grads[1]
 
         key = jax.random.PRNGKey(2)
 
@@ -131,8 +141,8 @@ def main():
                 c, z, _, _ = model.apply({"params": p}, x, None, train=True)
                 return jnp.sum((c * cot_c).astype(jnp.float32)) \
                     + jnp.sum((z * cot_z).astype(jnp.float32))
-            l, _ = jax.value_and_grad(loss, argnums=(0,))(params, x)
-            return l
+            l, grads = jax.value_and_grad(loss, argnums=(0,))(params, x)
+            return l + _grad_probe(grads)
 
         def run(k):
             l = None
@@ -163,7 +173,7 @@ def main():
                 lp = jax.nn.log_softmax(logits, axis=2)
                 return -jnp.mean(lp[:, :, 0, :])
             l, grads = jax.value_and_grad(loss, argnums=(0, 1))(preds, z)
-            return l
+            return l + _grad_probe(grads)
         key = jax.random.PRNGKey(5)
 
         def run(k):
@@ -188,7 +198,7 @@ def main():
                                   rngs={"dropout": key})
                 return jnp.sum((preds * cot).astype(jnp.float32))
             l, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, c)
-            return l
+            return l + _grad_probe(grads)
 
         key = jax.random.PRNGKey(3)
 

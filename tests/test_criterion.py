@@ -25,9 +25,9 @@ def test_sample_negatives_semantics(rng):
     B, S, C, N, W = 4, 16, 8, 32, 10
     z = jax.random.normal(rng, (B, S, C))
     neg = sample_negatives(jax.random.PRNGKey(7), z, W, N)
-    assert neg.shape == (B, N, W, C)
+    assert neg.shape == (B, W, N, C)
     zf = np.asarray(z).reshape(B * S, C)
-    negn = np.asarray(neg)
+    negn = np.asarray(neg).transpose(0, 2, 1, 3)  # (B, N, W, C)
     # every negative is an actual encoder frame
     for b in range(B):
         for n in range(0, N, 7):
@@ -235,9 +235,9 @@ def test_sample_negatives_rolled_semantics(rng):
     B, S, C, N, W = 4, 16, 8, 6, 10
     z = jax.random.normal(rng, (B, S, C))
     neg = sample_negatives_rolled(jax.random.PRNGKey(3), z, W, N)
-    assert neg.shape == (B, N, W, C)
+    assert neg.shape == (B, W, N, C)
     zf = np.asarray(z)
-    negn = np.asarray(neg)
+    negn = np.asarray(neg).transpose(0, 2, 1, 3)  # (B, N, W, C)
     for b in range(B):
         for n in range(N):
             hits = [(b2, s) for b2 in range(B) for s in range(S)
