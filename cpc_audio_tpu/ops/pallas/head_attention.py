@@ -75,10 +75,15 @@ def _skew_xla(qp):
 
 
 def _attend_fwd(q, k, krel, mask, inv_sqrt, interpret):
-    """q, k: (TB, S, dk) f32; krel: (dk, S) f32 -> softmax probs (TB,S,S)."""
+    """q, k: (TB, S, dk); krel: (dk, S) -> softmax probs (TB, S, S) f32.
+
+    Dots run in the INPUT dtype (bf16 in training) with f32 MXU
+    accumulation — casting operands to f32 first would run the MXU at
+    f32 rate (~3x slower on v5e) for no accuracy gain."""
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    qp = jax.lax.dot_general(q, krel, (((2,), (0,)), ((), ())),
+    qp = jax.lax.dot_general(q, krel.astype(q.dtype),
+                             (((2,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     s = (s + _skew(qp, interpret)) * inv_sqrt
     s = jnp.where(mask[None], s, _NEG)
@@ -96,11 +101,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, o_ref, *,
     mask = _causal_mask(S)
     f32 = jnp.float32
     pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    krel = krel_ref[0].astype(f32)
+    krel = krel_ref[0]
     for h in range(nheads):
         sl = slice(h * dk, (h + 1) * dk)
-        qh = q_ref[0, :, sl].reshape(tb, S, dk).astype(f32)
-        kh = k_ref[0, :, sl].reshape(tb, S, dk).astype(f32)
+        qh = q_ref[0, :, sl].reshape(tb, S, dk)
+        kh = k_ref[0, :, sl].reshape(tb, S, dk)
         vh = v_ref[0, :, sl].reshape(tb, S, dk)
         p = _attend_fwd(qh, kh, krel, mask, inv_sqrt, interpret)
         if rate > 0.0:
@@ -126,13 +131,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
     mask = _causal_mask(S)
     f32 = jnp.float32
     pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    krel = krel_ref[0].astype(f32)
+    krel = krel_ref[0]
     for h in range(nheads):
         sl = slice(h * dk, (h + 1) * dk)
-        qh = q_ref[0, :, sl].reshape(tb, S, dk).astype(f32)
-        kh = k_ref[0, :, sl].reshape(tb, S, dk).astype(f32)
-        vh = v_ref[0, :, sl].reshape(tb, S, dk).astype(f32)
-        do = do_ref[0, :, sl].reshape(tb, S, dk).astype(f32)
+        # operands stay in the input dtype (bf16 in training): MXU does
+        # bf16 multiplies with f32 accumulation; softmax math is f32.
+        qh = q_ref[0, :, sl].reshape(tb, S, dk)
+        kh = k_ref[0, :, sl].reshape(tb, S, dk)
+        vh = v_ref[0, :, sl].reshape(tb, S, dk)
+        do = do_ref[0, :, sl].reshape(tb, S, dk)
         p = _attend_fwd(qh, kh, krel, mask, inv_sqrt, interpret)
         if rate > 0.0:
             drop = _dropout_mask(p.shape, rate, seed_ref[0, 0],
@@ -140,8 +147,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
             pd = p * drop
         else:
             pd = p
+        pd_c = pd.astype(do.dtype)
         # dv[t,j,d] = sum_i pd[t,i,j] do[t,i,d]
-        dvh = jax.lax.dot_general(pd, do, (((1,), (1,)), ((0,), (0,))),
+        dvh = jax.lax.dot_general(pd_c, do, (((1,), (1,)), ((0,), (0,))),
                                   preferred_element_type=f32)
         # dpd[t,i,j] = sum_d do[t,i,d] v[t,j,d]
         dpd = jax.lax.dot_general(do, vh, (((2,), (2,)), ((0,), (0,))),
@@ -149,10 +157,11 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
         dp = dpd * drop if rate > 0.0 else dpd
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         ds = ds * inv_sqrt  # masked entries have p == 0 -> ds == 0
+        ds_c = ds.astype(do.dtype)
         # QK^T backward
-        dqh = jax.lax.dot_general(ds, kh, (((2,), (1,)), ((0,), (0,))),
+        dqh = jax.lax.dot_general(ds_c, kh, (((2,), (1,)), ((0,), (0,))),
                                   preferred_element_type=f32)
-        dkh = jax.lax.dot_general(ds, qh, (((1,), (1,)), ((0,), (0,))),
+        dkh = jax.lax.dot_general(ds_c, qh, (((1,), (1,)), ((0,), (0,))),
                                   preferred_element_type=f32)
         dq_ref[0, :, sl] = dqh.reshape(M, dk).astype(dq_ref.dtype)
         dk_ref[0, :, sl] = dkh.reshape(M, dk).astype(dk_ref.dtype)

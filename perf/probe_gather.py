@@ -125,5 +125,35 @@ def main():
         print("   correct:", np.array_equal(r, exp))
 
 
+def main2():
+    """Sublane take_along_axis beyond one vreg: row-gather from a
+    (4096, 256) VMEM table via idx broadcast along lanes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tbl = jnp.asarray(np.random.RandomState(2).randn(4096, 256), jnp.float32)
+    idx = jnp.asarray(np.random.RandomState(9).randint(0, 4096, (512, 1)),
+                      jnp.int32)
+
+    def k6(x_ref, i_ref, o_ref):
+        ib = jnp.broadcast_to(i_ref[:], (512, 256))
+        o_ref[:] = jnp.take_along_axis(x_ref[:], ib, axis=0)
+
+    def run6():
+        return pl.pallas_call(
+            k6, out_shape=jax.ShapeDtypeStruct((512, 256), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(tbl, idx)
+    r = probe("sublane take_along_axis (4096,256)[idx 512]", run6)
+    if r is not None:
+        exp = np.asarray(tbl)[np.asarray(idx)[:, 0]]
+        print("   correct:", np.array_equal(r, exp))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    main2() if "2" in sys.argv[1:] else main()
