@@ -60,10 +60,13 @@ def main():
     key = jax.random.PRNGKey(1)
 
     def run_steps(state, k):
+        # constant key: per-step streams derive from state.step in-jit;
+        # a host-side fold_in here would dispatch a ~0.7 ms scalar
+        # threefry program to the device between steps (device trace).
         metrics = None
-        for i in range(k):
+        for _ in range(k):
             state, _, metrics = train_step(
-                state, batch, labels, None, jax.random.fold_in(key, i), 2e-4)
+                state, batch, labels, None, key, 2e-4)
         return state, metrics
 
     # compile + warm, with a forced readback

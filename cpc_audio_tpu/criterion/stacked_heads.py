@@ -203,7 +203,18 @@ class _StackedFFN(nn.Module):
         # into f32 matmuls (docs/PERFORMANCE.md, round-2 A/B).
         h = jnp.einsum("kmd,kdf->kmf", m, w1.astype(x.dtype))
         h = nn.relu(h + b1[:, None, :].astype(x.dtype))
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        if train and self.dropout > 0.0:
+            # Inline u16-threshold dropout: nn.Dropout's bernoulli draws a
+            # u32 per element (a 400 MB rng-bit-generator tensor at the
+            # bench config, ~1.3 ms/step with its compare fusion — device
+            # trace, docs/PERFORMANCE.md).  u16 bits halve the RNG tensor;
+            # keep-probability error vs exact 0.9 is 6e-6.
+            keep = 1.0 - self.dropout
+            bits = jax.random.bits(self.make_rng("dropout"), h.shape,
+                                   jnp.uint16)
+            thresh = jnp.uint16(int(round(keep * 65536)))
+            mask = (bits < thresh).astype(h.dtype)
+            h = h * (mask * jnp.asarray(1.0 / keep, h.dtype))
         y = jnp.einsum("kmf,kfd->kmd", h, w2.astype(x.dtype))
         y = y + b2[:, None, :].astype(x.dtype)
         return y.reshape(K, B, S, D)

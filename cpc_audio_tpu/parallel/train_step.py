@@ -30,6 +30,30 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .mesh import DATA_AXIS
 
 
+def stream_keys(key, step, d):
+    """(sampling, dropout) keys for (train step, device) — arithmetically.
+
+    A single-block threefry (``fold_in``/``split``) costs ~0.7 ms on v5e
+    whether dispatched as its own tiny program from the host loop or
+    lowered in-jit (XLA emits a SCALAR rotate chain) — two of them were
+    1.45 ms of a 21 ms step in the device trace.  Stream selection only
+    needs distinct key words — the downstream threefry/rbg block cipher
+    provides the avalanche — so step and device indices are mixed in with
+    odd-constant integer multiplies (Fibonacci hashing), letting callers
+    pass ONE key for a whole epoch.  The manual DataParallel replay
+    (tests/test_distributed.py) uses this same helper, keeping the
+    8-device step bit-reproducible."""
+    bits = jax.random.key_data(key).reshape(-1)[:2].astype(jnp.uint32)
+    s, d = jnp.uint32(step), jnp.uint32(d)
+    m0 = (s + 1) * jnp.uint32(0x9E3779B9) ^ (d + 1) * jnp.uint32(0x85EBCA6B)
+    m1 = (s + 1) * jnp.uint32(0xC2B2AE35) ^ (d + 1) * jnp.uint32(0x27D4EB2F)
+    k_sample = jnp.stack([bits[0] ^ m0, bits[1] ^ m1])
+    # swapped mixes: a distinct stream even under threefry<->rbg reuse
+    k_drop = jnp.stack([bits[0] ^ m1, bits[1] ^ m0])
+    return (jax.random.wrap_key_data(k_sample),
+            jax.random.wrap_key_data(k_drop))
+
+
 def _rbg_key(key):
     """Dropout stream as an 'rbg' key: hardware-backed bit generation is
     ~3 ms/step cheaper than threefry at the bench config (same-session
@@ -127,8 +151,8 @@ def make_train_step(model, criterion, optimizer, mesh: Mesh,
     hspec = _hidden_spec(hidden_example)
 
     def step_impl(state: TrainState, batch, labels, hidden, key, lr):
-        dev_key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-        k_sample, k_drop = jax.random.split(dev_key)
+        k_sample, k_drop = stream_keys(key, state.step,
+                                       jax.lax.axis_index(DATA_AXIS))
         rngs = {"sampling": k_sample, "dropout": _rbg_key(k_drop)}
 
         def loss_fn(params):
@@ -165,13 +189,15 @@ def make_train_step(model, criterion, optimizer, mesh: Mesh,
 
 
 def make_val_step(model, criterion, mesh: Mesh, hidden_example=None):
-    """``val_step(state, batch, labels, hidden, key) -> (hidden, metrics)``
-    (train.py:122-155)."""
+    """``val_step(state, batch, labels, hidden, key, step) -> (hidden,
+    metrics)`` (train.py:122-155).  ``step`` is the batch index — the
+    caller passes ONE key per epoch (see stream_keys)."""
     hspec = _hidden_spec(hidden_example)
 
-    def step_impl(state: TrainState, batch, labels, hidden, key):
-        dev_key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-        rngs = {"sampling": dev_key}
+    def step_impl(state: TrainState, batch, labels, hidden, key, step):
+        k_sample, _ = stream_keys(key, step,
+                                  jax.lax.axis_index(DATA_AXIS))
+        rngs = {"sampling": k_sample}
         losses, accs, _, hid = _forward_loss(
             model, criterion, state.params, state.batch_stats, batch,
             labels, hidden, rngs, train=False)
@@ -183,7 +209,7 @@ def make_val_step(model, criterion, mesh: Mesh, hidden_example=None):
 
     sharded = jax.shard_map(
         step_impl, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), hspec, P()),
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), hspec, P(), P()),
         out_specs=(hspec, P()),
         check_vma=False)
     return jax.jit(sharded)

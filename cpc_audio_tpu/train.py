@@ -80,8 +80,11 @@ def train_epoch(loader, train_step, state, hidden, key, lr,
     for step, (batch, labels) in enumerate(loader):
         n_examples += batch.shape[0]
         b, l = shard_fn(batch, labels)
-        key, sub = jax.random.split(key)
-        state, hidden, metrics = train_step(state, b, l, hidden, sub, lr)
+        # ONE key per epoch: per-step streams derive from state.step
+        # inside the jit (parallel.train_step.stream_keys) — a host-side
+        # split here would dispatch a ~0.7 ms scalar-threefry program to
+        # the device every step.
+        state, hidden, metrics = train_step(state, b, l, hidden, key, lr)
         losses, acc = _metrics_to_numpy(metrics)
         if meter is not None:
             meter.update(batch.shape[0])
@@ -114,10 +117,9 @@ def val_epoch(loader, val_step, state, hidden, key, shard_fn) -> Tuple:
     import jax
     logs = {}
     it = 0
-    for batch, labels in loader:
+    for step, (batch, labels) in enumerate(loader):
         b, l = shard_fn(batch, labels)
-        key, sub = jax.random.split(key)
-        hidden, metrics = val_step(state, b, l, hidden, sub)
+        hidden, metrics = val_step(state, b, l, hidden, key, step)
         losses, acc = _metrics_to_numpy(metrics)
         if "locLoss_val" not in logs:
             logs["locLoss_val"] = np.zeros(losses.shape[0])
@@ -156,8 +158,7 @@ def run(train_dataset: AudioBatchData, val_dataset: AudioBatchData,
     start_epoch = len(logs["epoch"])
     best_acc = -1.0
     best_state = ckpt.to_numpy_tree(state.params["model"])
-    key = jax.random.PRNGKey(config.random_seed or 0)
-    key = jax.random.fold_in(key, start_epoch)
+    base_key = jax.random.PRNGKey(config.random_seed or 0)
     start_time = time.time()
     path_checkpoint = train_config.pathCheckpoint
 
@@ -178,13 +179,16 @@ def run(train_dataset: AudioBatchData, val_dataset: AudioBatchData,
         meter = ThroughputMeter(n_devices)
         profile_dir = getattr(train_config, "profile_dir", None) \
             if epoch == start_epoch else None
+        # one real fold per epoch (resume-reproducible: epoch is absolute)
+        ekey = jax.random.fold_in(base_key, 2 * epoch)
+        vkey = jax.random.fold_in(base_key, 2 * epoch + 1)
         with profile_trace(profile_dir):
-            loc_logs_train, state, hidden, key = train_epoch(
-                train_loader, train_step, state, hidden, key, lr, shard_fn,
+            loc_logs_train, state, hidden, _ = train_epoch(
+                train_loader, train_step, state, hidden, ekey, lr, shard_fn,
                 logs["logging_step"], meter=meter)
         print(f"epoch throughput: {meter.summary()}")
-        loc_logs_val, hidden, key = val_epoch(
-            val_loader, val_step, state, hidden, key, shard_fn)
+        loc_logs_val, hidden, _ = val_epoch(
+            val_loader, val_step, state, hidden, vkey, shard_fn)
         print(f"Ran {epoch + 1} epochs "
               f"in {time.time() - start_time:.2f} seconds")
 

@@ -20,7 +20,7 @@ def test_shard_sequences_single_process_identity():
 
 def test_sharded_step_equals_manual_dataparallel_replay():
     """The 8-device shard_map train step must equal a manual DataParallel
-    replay: per-device keys fold_in(key, d), per-shard grads of the summed
+    replay: per-device keys stream_keys(key, step, d), per-shard grads of the summed
     loss, grad-sum across shards, one optimizer update (reference
     semantics: torch DataParallel sum, train.py:85,372-375)."""
     import jax
@@ -34,7 +34,7 @@ def test_sharded_step_equals_manual_dataparallel_replay():
     from cpc_audio_tpu.parallel import (create_train_state, get_mesh,
                                         make_optimizer, make_train_step,
                                         shard_batch)
-    from cpc_audio_tpu.parallel.train_step import _forward_loss
+    from cpc_audio_tpu.parallel.train_step import _forward_loss, stream_keys
 
     n_dev = 8
     config = CPCConfig(hiddenEncoder=16, hiddenGar=16, nPredicts=2,
@@ -67,8 +67,7 @@ def test_sharded_step_equals_manual_dataparallel_replay():
     total_grads = None
     all_losses = []
     for d in range(n_dev):
-        dev_key = jax.random.fold_in(key, d)
-        k_sample, k_drop = jax.random.split(dev_key)
+        k_sample, k_drop = stream_keys(key, 0, d)  # state0.step == 0
         rngs = {"sampling": k_sample, "dropout": k_drop}
 
         def loss_fn(params):
@@ -90,10 +89,14 @@ def test_sharded_step_equals_manual_dataparallel_replay():
     flat1 = jax.tree_util.tree_leaves_with_path(state1.params)
     flat_ref = dict(jax.tree_util.tree_leaves_with_path(params_ref))
     assert flat1
+    # atol: psum vs sequential-add f32 reduction order perturbs gradients
+    # in the last ulp, and Adam's rsqrt amplifies that for near-zero
+    # gradient entries (update scale is lr=2e-4, so 5e-6 is ~2% of one
+    # step on a handful of elements).
     for path, leaf in flat1:
         np.testing.assert_allclose(np.asarray(leaf),
                                    np.asarray(flat_ref[path]),
-                                   atol=1e-6, err_msg=str(path))
+                                   atol=5e-6, err_msg=str(path))
     np.testing.assert_allclose(np.asarray(metrics["losses"]),
                                np.mean(all_losses, axis=0), rtol=1e-5)
 
