@@ -62,18 +62,6 @@ def _skew(qp, interpret: bool):
     return pltpu.roll(qp, 1, 2, stride=1, stride_axis=1)
 
 
-def _skew_xla(qp):
-    """The reference zero-pad/reshape skew (transformers.py:23-26,42-47)
-    as plain XLA layout ops; its jax.linear_transpose is the unskew used
-    by the backward (Mosaic's rotate caps the per-sublane stride well
-    below the S-1 a one-roll in-kernel unskew would need — per-vreg
-    max shift = shift + 7*stride must stay under the 128-lane width)."""
-    *lead, S, _ = qp.shape
-    z = jnp.zeros(tuple(lead) + (S, 1), qp.dtype)
-    qp2 = jnp.concatenate([z, qp], axis=-1)
-    return qp2.reshape(tuple(lead) + (S + 1, S))[..., 1:, :]
-
-
 def _attend_fwd(q, k, krel, mask, inv_sqrt, interpret):
     """q, k: (TB, S, dk); krel: (dk, S) -> softmax probs (TB, S, S) f32.
 
@@ -117,13 +105,34 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, o_ref, *,
         o_ref[0, :, sl] = o.reshape(M, dk).astype(o_ref.dtype)
 
 
+def _unskew(ds):
+    """Adjoint of the skew as ONE in-kernel lane gather:
+    dqp[t, i, r] = ds[t, i, (r + i + 1) mod S].
+
+    The roll-based skew is a per-row lane BIJECTION, so its adjoint is the
+    inverse permutation — equal to the linear_transpose of the reference's
+    pad/reshape skew wherever ds is nonzero (ds == 0 on the masked j > i
+    region, where the two skews differ).  Mosaic rejects `rev` and
+    negative roll strides, but per-row dynamic lane gather lowers fine
+    (perf/probe_gather.py / probe_unskew.py, v5e)."""
+    T, S, _ = ds.shape
+    i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    idx = (r + i + 1) % S
+    # Mosaic supports only 2-D gathers: unroll the (small) batch-tile dim.
+    return jnp.stack([jnp.take_along_axis(ds[t], idx, axis=1)
+                      for t in range(T)])
+
+
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, ds_ref, *,
                 rate: float, nheads: int, tb: int, interpret: bool):
     """Recompute-style backward.  Emits dq/dk/dv for the QK^T (+AV) part
-    plus the masked, 1/sqrt(dk)-scaled softmax-input gradient ds; the
-    rel-pos contributions (dq += unskew(ds) @ krel^T, dKrelpos) are two
-    tiny XLA einsums on ds outside the kernel (see _fr_bwd)."""
+    plus dqp = unskew(ds), the rel-pos logits gradient, already
+    permuted IN-KERNEL (the XLA pad/reshape unskew of the (K,B,h,S,S)
+    tensor measured ~1 ms/step of pure relayout).  The remaining rel-pos
+    contributions (dq += dqp @ krel^T, dKrelpos) are two XLA einsums on
+    dqp outside the kernel (see _fr_bwd)."""
     M, D = q_ref.shape[1:]
     S = M // tb
     dk = D // nheads
@@ -166,7 +175,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
         dq_ref[0, :, sl] = dqh.reshape(M, dk).astype(dq_ref.dtype)
         dk_ref[0, :, sl] = dkh.reshape(M, dk).astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dvh.reshape(M, dk).astype(dv_ref.dtype)
-        ds_ref[0, :, h] = ds.astype(ds_ref.dtype)
+        ds_ref[0, :, h] = _unskew(ds).astype(ds_ref.dtype)
 
 
 def _pick_tb(n_b: int) -> int:
@@ -228,7 +237,7 @@ def _fr_bwd(n_batch, nheads, rate, interpret, res, dout):
     ds_spec = pl.BlockSpec((1, tb, nheads, S, S),
                            lambda k, b: (k, b, 0, 0, 0), **mem)
     seed_row = jnp.broadcast_to(seed.reshape(-1)[:1, None], (1, 128))
-    dq, dkk, dv, ds = pl.pallas_call(
+    dq, dkk, dv, dqp = pl.pallas_call(
         functools.partial(_bwd_kernel, rate=rate, nheads=nheads, tb=tb,
                           interpret=interpret),
         grid=(K, n_batch // tb),
@@ -241,11 +250,7 @@ def _fr_bwd(n_batch, nheads, rate, interpret, res, dout):
                                         q.dtype)),
         interpret=interpret,
     )(seed_row, q, k, v, krel, dout)
-    # Rel-pos backward in XLA: <ds, skew(qp)> == <unskew(ds), qp>, with
-    # unskew = linear_transpose of the pad/reshape skew (pure layout ops;
-    # valid because ds is exactly zero on the masked j > i region, where
-    # the roll-based and pad/reshape skews differ).
-    dqp = jax.linear_transpose(_skew_xla, jnp.zeros_like(ds))(ds)[0]
+    # dqp = unskew(ds) comes pre-permuted from the kernel (see _unskew).
     # dq += dqp @ krel^T, per head; dkrel = sum over (b, i, heads) q^T dqp
     q4 = q.reshape(K, n_batch, S, nheads, dk)
     dq_rel = jnp.einsum("kbhir,kdr->kbihd", dqp, krel.astype(dqp.dtype))
