@@ -21,6 +21,7 @@ with Shaw rel-pos (transformers.py:98-111).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Sequence, Tuple
 
@@ -29,6 +30,34 @@ import jax
 import jax.numpy as jnp
 
 from ..models.transformer import _torch_linear_init
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _relu_dropout(h, bits, keep: float):
+    """relu + dropout with a sign-recoverable backward.
+
+    y = 1[bits < t] * relu(h) / keep, so y > 0 iff (kept AND h > 0) —
+    the backward mask is recoverable from y alone: dL/dh = dy * 1[y>0] /
+    keep.  Saving y (which flows forward anyway) as the ONLY residual
+    removes the mask/bits round-trip XLA otherwise stores for the
+    backward (~0.6 ms/step of u16 traffic at the bench config)."""
+    thresh = jnp.uint16(int(round(keep * 65536)))
+    mask = (bits < thresh).astype(h.dtype)
+    return jnp.maximum(h, 0) * (mask * jnp.asarray(1.0 / keep, h.dtype))
+
+
+def _relu_dropout_fwd(h, bits, keep):
+    y = _relu_dropout(h, bits, keep)
+    return y, y
+
+
+def _relu_dropout_bwd(keep, y, dy):
+    dh = dy * ((y > 0).astype(dy.dtype)
+               * jnp.asarray(1.0 / keep, dy.dtype))
+    return dh, None
+
+
+_relu_dropout.defvjp(_relu_dropout_fwd, _relu_dropout_bwd)
 
 
 class _Kernel(nn.Module):
@@ -202,19 +231,21 @@ class _StackedFFN(nn.Module):
         # emitting f32 here would force the whole FFN backward (dW1/dW2/dx)
         # into f32 matmuls (docs/PERFORMANCE.md, round-2 A/B).
         h = jnp.einsum("kmd,kdf->kmf", m, w1.astype(x.dtype))
-        h = nn.relu(h + b1[:, None, :].astype(x.dtype))
+        h = h + b1[:, None, :].astype(x.dtype)
         if train and self.dropout > 0.0:
-            # Inline u16-threshold dropout: nn.Dropout's bernoulli draws a
+            # u16-threshold dropout fused with relu via a sign-recoverable
+            # custom VJP (_relu_dropout): nn.Dropout's bernoulli draws a
             # u32 per element (a 400 MB rng-bit-generator tensor at the
             # bench config, ~1.3 ms/step with its compare fusion — device
-            # trace, docs/PERFORMANCE.md).  u16 bits halve the RNG tensor;
-            # keep-probability error vs exact 0.9 is 6e-6.
+            # trace, docs/PERFORMANCE.md); u16 bits halve the RNG tensor
+            # (keep-probability error vs exact 0.9 is 6e-6) and the
+            # backward needs neither bits nor a stored mask.
             keep = 1.0 - self.dropout
             bits = jax.random.bits(self.make_rng("dropout"), h.shape,
                                    jnp.uint16)
-            thresh = jnp.uint16(int(round(keep * 65536)))
-            mask = (bits < thresh).astype(h.dtype)
-            h = h * (mask * jnp.asarray(1.0 / keep, h.dtype))
+            h = _relu_dropout(h, bits, keep)
+        else:
+            h = nn.relu(h)
         y = jnp.einsum("kmf,kfd->kmd", h, w2.astype(x.dtype))
         y = y + b2[:, None, :].astype(x.dtype)
         return y.reshape(K, B, S, D)

@@ -316,3 +316,35 @@ def test_stacked_transformer_heads_match_vmap(monkeypatch):
                                  tu.tree_leaves_with_path(g2)):
         np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
                                    atol=2e-4, err_msg=str(p1))
+
+
+def test_relu_dropout_custom_vjp_matches_composition():
+    """_relu_dropout's sign-recoverable backward equals autodiff through
+    the explicit mask*relu composition for the same bits."""
+    from cpc_audio_tpu.criterion.stacked_heads import _relu_dropout
+
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.randn(4, 64), jnp.float32)
+    bits = jnp.asarray(rng.randint(0, 65536, (4, 64)), jnp.uint16)
+    keep = 0.9
+
+    def ref(h):
+        thresh = jnp.uint16(int(round(keep * 65536)))
+        mask = (bits < thresh).astype(h.dtype)
+        return jnp.maximum(h, 0) * mask / keep
+
+    def f_ref(h):
+        return jnp.sum(jnp.sin(ref(h)))
+
+    def f_cust(h):
+        return jnp.sum(jnp.sin(_relu_dropout(h, bits, keep)))
+
+    y_ref, y_c = ref(h), _relu_dropout(h, bits, keep)
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_ref),
+                               rtol=1e-6)
+    g_ref = jax.grad(f_ref)(h)
+    g_c = jax.grad(f_cust)(h)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-7)
+    # dropped and negative entries get exactly zero gradient
+    assert np.all(np.asarray(g_c)[np.asarray(y_c) == 0] == 0)
