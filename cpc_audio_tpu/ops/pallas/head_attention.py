@@ -179,8 +179,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
 
 
 def _pick_tb(n_b: int) -> int:
-    for tb in (4, 2, 1):
-        if n_b % tb == 0:
+    """Batch rows per grid program.  8 beats 4 on v5e (attention device
+    time 2.98 -> 2.43 ms/step at the bench config: fewer program launches,
+    better MXU occupancy); CPC_ATTN_TB overrides for tuning."""
+    import os
+    pref = int(os.environ.get("CPC_ATTN_TB", "8"))
+    for tb in (pref, 8, 4, 2, 1):
+        if tb <= n_b and n_b % tb == 0:
             return tb
     return 1
 
@@ -271,7 +276,12 @@ def relpos_attention_supported(S: int, dk: int, nheads: int,
     """S must fill whole 128-lane registers: Mosaic's tpu.dynamic_rotate
     (the in-kernel skew) rejects lane-padded operands (verified on v5e:
     S=16 fails, S=128 compiles).  dk lane-friendly; working set in VMEM."""
+    import os
     tb = _pick_tb(n_batch)
     vmem = (4 * tb * S * nheads * dk * 4        # q/k/v/o one head f32-ish
             + 6 * tb * S * S * 4)               # p/ds/dqp/... f32 temps
-    return S % 128 == 0 and dk % 8 == 0 and S <= 512 and vmem < 10e6
+    # tb=8 (7.3 MB estimate) compiles; tb=16 (14.7 MB) dies in Mosaic
+    # VMEM allocation on v5e — the cap keeps oversized tiles on the
+    # XLA fallback instead of failing the compile.
+    cap = float(os.environ.get("CPC_ATTN_VMEM_CAP", "8e6"))
+    return S % 128 == 0 and dk % 8 == 0 and S <= 512 and vmem < cap
