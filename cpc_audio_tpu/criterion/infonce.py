@@ -23,6 +23,7 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -30,6 +31,43 @@ import jax
 import jax.numpy as jnp
 
 from .prediction import PredictionNetwork
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _score_pair(preds, pos, neg, inv_c: float):
+    """pos/neg scores (mean over C, criterion.py:116) with a bf16-cotangent
+    backward.
+
+    The forward emits f32 scores (the CE/logsumexp needs them), but
+    autodiff would then make every backward matmul read f32 score
+    cotangents — and the dneg it produces (the 475k-row scatter's update
+    tensor) comes out f32, adding a 243 MB convert pass (device trace).
+    The custom backward casts dscore to the compute dtype once (12 MB)
+    and keeps dpred/dpos/dneg in bf16 end to end, like the rest of the
+    gradient pipeline."""
+    ps = jnp.einsum("kbwc,kbwc->kbw", preds, pos,
+                    preferred_element_type=jnp.float32) * inv_c
+    ns = jnp.einsum("kbwc,bwnc->kbwn", preds, neg,
+                    preferred_element_type=jnp.float32) * inv_c
+    return ps, ns
+
+
+def _score_pair_fwd(preds, pos, neg, inv_c):
+    return _score_pair(preds, pos, neg, inv_c), (preds, pos, neg)
+
+
+def _score_pair_bwd(inv_c, res, cot):
+    preds, pos, neg = res
+    dps, dns = cot
+    dps_c = (dps * inv_c).astype(preds.dtype)[..., None]     # (K,B,W,1)
+    dns_c = (dns * inv_c).astype(preds.dtype)                # (K,B,W,N)
+    dpred = dps_c * pos + jnp.einsum("kbwn,bwnc->kbwc", dns_c, neg)
+    dpos = dps_c * preds
+    dneg = jnp.einsum("kbwn,kbwc->bwnc", dns_c, preds)
+    return dpred, dpos, dneg
+
+
+_score_pair.defvjp(_score_pair_fwd, _score_pair_bwd)
 
 
 class BaseCriterion(nn.Module):
@@ -192,15 +230,20 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         f32 = jnp.float32
         # score = mean over channels of pred*candidate (criterion.py:116).
         # Inputs stay in their compute dtype (bf16 halves the HBM traffic of
-        # the gathered negatives); the MXU accumulates in f32.
+        # the gathered negatives); the MXU accumulates in f32; the custom
+        # VJP keeps the backward's cotangents bf16 (see _score_pair).
         # Layout: candidates MINOR — neg_score (K,B,W,N) keeps the softmax /
         # max reductions on the fast (lane) axis; the reference's
         # (K,B,1+N,W) orientation put them on a strided axis (measured
         # ~1.5 ms/step of select/copy fusions, docs/PERFORMANCE.md).
-        pos_score = jnp.einsum("kbwc,kbwc->kbw", preds, pos,
-                               preferred_element_type=f32) / C
-        neg_score = jnp.einsum("kbwc,bwnc->kbwn", preds, neg,
-                               preferred_element_type=f32) / C
+        if self.stop_grad_negatives:
+            # plain einsums so autodiff can DCE the dneg matmul entirely
+            pos_score = jnp.einsum("kbwc,kbwc->kbw", preds, pos,
+                                   preferred_element_type=f32) / C
+            neg_score = jnp.einsum("kbwc,bwnc->kbwn", preds, neg,
+                                   preferred_element_type=f32) / C
+        else:
+            pos_score, neg_score = _score_pair(preds, pos, neg, 1.0 / C)
 
         # CE with the positive as class 0 (criterion.py:248-254), computed
         # as pos - logsumexp over {pos} u negatives — never materializes the

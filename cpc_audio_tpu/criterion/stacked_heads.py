@@ -40,8 +40,14 @@ def _relu_dropout(h, bits, keep: float):
     the backward mask is recoverable from y alone: dL/dh = dy * 1[y>0] /
     keep.  Saving y (which flows forward anyway) as the ONLY residual
     removes the mask/bits round-trip XLA otherwise stores for the
-    backward (~0.6 ms/step of u16 traffic at the bench config)."""
-    thresh = jnp.uint16(int(round(keep * 65536)))
+    backward (~0.6 ms/step of u16 traffic at the bench config).
+
+    The EFFECTIVE keep probability is quantized to the bit width of
+    ``bits`` (u8: within 2^-8 of ``keep``); the 1/keep rescale uses the
+    nominal value, matching flax's convention of rescaling by the
+    requested rate rather than the realized one."""
+    nbits = jnp.iinfo(bits.dtype).bits
+    thresh = jnp.asarray(int(round(keep * (1 << nbits))), bits.dtype)
     mask = (bits < thresh).astype(h.dtype)
     return jnp.maximum(h, 0) * (mask * jnp.asarray(1.0 / keep, h.dtype))
 
@@ -233,16 +239,17 @@ class _StackedFFN(nn.Module):
         h = jnp.einsum("kmd,kdf->kmf", m, w1.astype(x.dtype))
         h = h + b1[:, None, :].astype(x.dtype)
         if train and self.dropout > 0.0:
-            # u16-threshold dropout fused with relu via a sign-recoverable
+            # u8-threshold dropout fused with relu via a sign-recoverable
             # custom VJP (_relu_dropout): nn.Dropout's bernoulli draws a
             # u32 per element (a 400 MB rng-bit-generator tensor at the
             # bench config, ~1.3 ms/step with its compare fusion — device
-            # trace, docs/PERFORMANCE.md); u16 bits halve the RNG tensor
-            # (keep-probability error vs exact 0.9 is 6e-6) and the
-            # backward needs neither bits nor a stored mask.
+            # trace, docs/PERFORMANCE.md); u8 bits quarter the RNG tensor
+            # (keep probability 230/256 = 0.8984 vs 0.9 — well inside the
+            # noise dropout injects by design) and the backward needs
+            # neither bits nor a stored mask.
             keep = 1.0 - self.dropout
             bits = jax.random.bits(self.make_rng("dropout"), h.shape,
-                                   jnp.uint16)
+                                   jnp.uint8)
             h = _relu_dropout(h, bits, keep)
         else:
             h = nn.relu(h)

@@ -318,6 +318,35 @@ def test_stacked_transformer_heads_match_vmap(monkeypatch):
                                    atol=2e-4, err_msg=str(p1))
 
 
+def test_score_pair_custom_vjp_matches_autodiff():
+    """_score_pair's bf16-cotangent backward equals plain autodiff through
+    the einsums when everything is f32 (the cast is then a no-op)."""
+    from cpc_audio_tpu.criterion.infonce import _score_pair
+
+    K, B, W, N, C = 3, 2, 5, 7, 16
+    rng = np.random.RandomState(0)
+    preds = jnp.asarray(rng.randn(K, B, W, C), jnp.float32)
+    pos = jnp.asarray(rng.randn(K, B, W, C), jnp.float32)
+    neg = jnp.asarray(rng.randn(B, W, N, C), jnp.float32)
+
+    def ref(preds, pos, neg):
+        ps = jnp.einsum("kbwc,kbwc->kbw", preds, pos) / C
+        ns = jnp.einsum("kbwc,bwnc->kbwn", preds, neg) / C
+        return jnp.sum(jnp.sin(ps)) + jnp.sum(jnp.cos(ns))
+
+    def cust(preds, pos, neg):
+        ps, ns = _score_pair(preds, pos, neg, 1.0 / C)
+        return jnp.sum(jnp.sin(ps)) + jnp.sum(jnp.cos(ns))
+
+    np.testing.assert_allclose(np.asarray(cust(preds, pos, neg)),
+                               np.asarray(ref(preds, pos, neg)), rtol=1e-6)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(preds, pos, neg)
+    g_c = jax.grad(cust, argnums=(0, 1, 2))(preds, pos, neg)
+    for a, b in zip(g_ref, g_c):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_relu_dropout_custom_vjp_matches_composition():
     """_relu_dropout's sign-recoverable backward equals autodiff through
     the explicit mask*relu composition for the same bits."""
