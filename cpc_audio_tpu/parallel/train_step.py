@@ -76,10 +76,12 @@ def make_optimizer(beta1: float = 0.9, beta2: float = 0.999,
                    epsilon: float = 1e-8) -> optax.GradientTransformation:
     """Adam direction; the step scales by the traced lr inside train_step.
 
-    optax.flatten: the moment updates run on ONE concatenated vector
-    instead of ~200 separate leaves — measured 5.8 ms -> 0.1 ms for an
-    18M-param update on v5e (per-leaf kernel dispatch dominates;
-    docs/PERFORMANCE.md round 2)."""
+    optax.flatten: moment updates run on ONE concatenated vector.  The
+    honest comparison (full-step device traces, which are deterministic —
+    an isolated A/B with constant gradients lets XLA over-simplify) has
+    flat at ~2.06 ms vs ~2.41 ms per-leaf for the 37-leaf/17.6M default
+    tree: flatten pays two ~70 MB tiling relayouts but wins them back in
+    per-leaf fusion overhead (docs/PERFORMANCE.md round 2)."""
     return optax.flatten(optax.chain(
         optax.scale_by_adam(b1=beta1, b2=beta2, eps=epsilon, eps_root=0.0),
         optax.scale(-1.0),
