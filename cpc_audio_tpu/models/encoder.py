@@ -56,24 +56,30 @@ class Conv1d(nn.Module):
             # Degenerate-input conv (the waveform layer) as dense framing:
             # XLA's conv-grad emitter handles C_in=1 badly (dW alone was
             # 0.34 ms/step in the device trace vs ~0.08 ms of traffic).
-            # kernel % stride == 0 means every window is a whole number of
-            # stride-blocks, so framing is two free reshapes + slices and
-            # the conv becomes an MXU matmul whose dW backward contracts
-            # over the full (B*T') depth.
+            # kernel % stride == 0 means every window is a whole number
+            # of stride-blocks, so framing is reshapes/slices and the
+            # conv becomes an MXU matmul whose dW backward contracts over
+            # the full (B*T') depth.  NOTE: framing the C=256 layers the
+            # same way was tried and REGRESSED ~3 ms/step — with a wide
+            # channel dim the (B,L,C)->(B,L/s,s*C) reshape is a real
+            # retiling, and its backward transpose costs more than XLA's
+            # conv path (device trace, docs/PERFORMANCE.md).
             B, T, _ = x.shape
             s, kw = self.stride, self.kernel_size
             out_t = (T + 2 * self.padding - kw) // s + 1
             L = T + 2 * self.padding
             pad_r = self.padding + (-L) % s
-            xp = jnp.pad(x[..., 0].astype(dtype),
-                         ((0, 0), (self.padding, pad_r)))
-            blocks = xp.reshape(B, (L + (-L) % s) // s, s)
+            xp = jnp.pad(x.astype(dtype),
+                         ((0, 0), (self.padding, pad_r), (0, 0)))
+            blocks = xp.reshape(B, xp.shape[1] // s, s * in_features)
             nb = kw // s
             frames = jnp.concatenate(
                 [blocks[:, i:blocks.shape[1] - nb + 1 + i] for i in range(nb)],
-                axis=2)[:, :out_t]                       # (B, out_t, kw)
+                axis=2)[:, :out_t]                # (B, out_t, kw*C_in)
+            # frames element (tap*C_in + c) matches kernel (W, I, O) rows
             y = jax.lax.dot_general(
-                frames, kernel.astype(dtype).reshape(kw, self.features),
+                frames,
+                kernel.astype(dtype).reshape(kw * in_features, self.features),
                 (((2,), (0,)), ((), ())))
         else:
             y = jax.lax.conv_general_dilated(
