@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import flax.linen as nn
 import jax

@@ -5,7 +5,6 @@ Feasibility test for a fused InfoNCE scoring kernel that keeps the whole
 in-kernel (docs/PERFORMANCE.md round-1 item 3 follow-up).
 """
 
-import functools
 import sys
 
 import jax

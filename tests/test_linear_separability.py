@@ -4,7 +4,6 @@ on the fixtures, starting from a CLI-pretrained checkpoint."""
 import json
 import os
 
-import numpy as np
 import pytest
 
 from cpc_audio_tpu.ops import native

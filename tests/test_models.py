@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from cpc_audio_tpu.config import CPCConfig
-from cpc_audio_tpu.models import (CPCAR, ChannelNorm, CPCEncoder, CPCModel,
+from cpc_audio_tpu.models import (CPCAR, ChannelNorm, CPCEncoder,
                                   ConcatenatedModel, NoAr, TransformerAR,
                                   build_model, get_ar, get_encoder)
 

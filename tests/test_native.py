@@ -6,7 +6,6 @@ DTW goldens ported from the reference ABX tests
 
 import glob
 import os
-import struct
 import wave
 
 import numpy as np

@@ -5,7 +5,6 @@ Runs on the 8-device CPU mesh.
 
 import json
 import os
-import sys
 
 import numpy as np
 import pytest

@@ -5,7 +5,7 @@ import numpy as np
 
 import jax
 
-from cpc_audio_tpu.utils import lr_for_epoch, ramp_scheduling_function, \
+from cpc_audio_tpu.utils import lr_for_epoch, \
     update_logs
 from cpc_audio_tpu.utils.profiling import ThroughputMeter
 
