@@ -83,8 +83,11 @@ def save_args_sidecar(path_dir: str, cpc_config: CPCConfig,
     args = dict(cpc_config.to_dict())
     if train_config is not None:
         args.update(train_config.to_dict())
-    with open(os.path.join(path_dir, "checkpoint_args.json"), "w") as f:
+    # atomic like save_checkpoint: never leave a truncated sidecar
+    dest = os.path.join(path_dir, "checkpoint_args.json")
+    with open(dest + ".tmp", "w") as f:
         json.dump(args, f, indent=2, sort_keys=True)
+    os.replace(dest + ".tmp", dest)
 
 
 def get_checkpoint_data(path_dir: str

@@ -192,7 +192,16 @@ def run(train_dataset: AudioBatchData, val_dataset: AudioBatchData,
         print(f"Ran {epoch + 1} epochs "
               f"in {time.time() - start_time:.2f} seconds")
 
-        current_acc = float(np.mean(loc_logs_val["locAcc_val"]))
+        if "locAcc_val" in loc_logs_val:
+            current_acc = float(np.mean(loc_logs_val["locAcc_val"]))
+        else:
+            # Fixed-shape batching drops ragged tails, so a validation
+            # split smaller than one batch yields ZERO val batches (the
+            # reference's ragged loader always yields at least one).
+            # Track best on train accuracy instead of crashing.
+            print("WARNING: validation set smaller than one batch; "
+                  "tracking best checkpoint on train accuracy")
+            current_acc = float(np.mean(loc_logs_train["locAcc_train"]))
         if current_acc > best_acc:
             best_acc = current_acc
             best_state = ckpt.to_numpy_tree(state.params["model"])

@@ -6,6 +6,7 @@ Reference: /root/reference/cpc/utils/misc.py:15-121.
 from __future__ import annotations
 
 import json
+import os
 import random
 import sys
 from copy import deepcopy
@@ -25,8 +26,12 @@ def untensor(d):
 
 
 def save_logs(data: dict, path_logs: str) -> None:
-    with open(path_logs, "w") as f:
+    # atomic (tmp + rename) like save_checkpoint: a preemption mid-write
+    # must not leave a truncated logs JSON that poisons auto-resume
+    tmp = path_logs + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(untensor(data), f, indent=2)
+    os.replace(tmp, path_logs)
 
 
 def update_logs(logs: Dict[str, np.ndarray], log_step: int,

@@ -196,3 +196,21 @@ def test_load_model_multi_checkpoint_concatenated(tmp_path):
     # first half of the concatenated features == the first model's features
     np.testing.assert_allclose(np.asarray(f_cat[..., :f_one.shape[2]]),
                                np.asarray(f_one), atol=1e-5)
+
+
+def test_train_with_empty_validation_split(tmp_path):
+    """A validation split smaller than one fixed-shape batch yields ZERO
+    val batches; training must warn and complete, tracking best on train
+    accuracy (regression: KeyError 'locAcc_val' crashed after epoch 0)."""
+    out = str(tmp_path / "ckpt")
+    # big windows + batch on the tiny fixture db -> val gets 0 batches
+    rc = _run_main(["--hiddenEncoder", "32", "--hiddenGar", "24",
+                    "--nPredicts", "3", "--negativeSamplingExt", "8",
+                    "--sizeWindow", "12800", "--rnnMode", "linear",
+                    "--arMode", "GRU", "--batchSizeGPU", "2",
+                    "--nGPU", "4", "--n_process_loader", "2",
+                    "--ignore_cache", "--pathDB", DB, "--nEpoch", "1",
+                    "--save_step", "1", "--pathCheckpoint", out])
+    assert rc == 0
+    files = os.listdir(out)
+    assert "checkpoint_0.pt" in files and "checkpoint_logs.json" in files
