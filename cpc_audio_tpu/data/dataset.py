@@ -215,6 +215,12 @@ class AudioBatchData:
         self.db_path = path
         self.size_window = size_window
         self.seq_names = [(s, os.path.join(path, p)) for s, p in seq_names]
+        if not self.seq_names:
+            # would otherwise surface as an obscure IndexError in pack
+            # loading; a typo'd split file is the usual cause
+            raise ValueError(
+                f"AudioBatchData got an empty sequence list for {path} — "
+                "check the split file names against the database contents")
         self.n_speakers = n_speakers
         self.max_size_loaded = max_size_loaded
         self._rng = random.Random(seed)
