@@ -148,10 +148,18 @@ def load_state_into(state, path: str, config: CPCConfig,
         opt_state = state.opt_state
         if load_optimizer and blob.get("optimizer") is not None:
             try:
-                flat_new = jax.tree_util.tree_leaves(blob["optimizer"])
+                flat_new = [jnp.asarray(x) for x in
+                            jax.tree_util.tree_leaves(blob["optimizer"])]
+                flat_cur = jax.tree_util.tree_leaves(state.opt_state)
+                # shape check too: a layout change in the optimizer (e.g.
+                # flat vs per-leaf moments) can match leaf COUNT while the
+                # shapes differ, which would only explode later inside the
+                # jitted step
+                if [getattr(a, "shape", ()) for a in flat_new] != \
+                        [getattr(a, "shape", ()) for a in flat_cur]:
+                    raise ValueError("optimizer leaf shapes differ")
                 treedef = jax.tree_util.tree_structure(state.opt_state)
-                opt_state = jax.tree_util.tree_unflatten(
-                    treedef, [jnp.asarray(x) for x in flat_new])
+                opt_state = jax.tree_util.tree_unflatten(treedef, flat_new)
             except Exception:
                 print("WARNING: optimizer state incompatible; reinitialized")
         if blob.get("batch_stats"):
