@@ -76,16 +76,19 @@ def make_optimizer(beta1: float = 0.9, beta2: float = 0.999,
                    epsilon: float = 1e-8) -> optax.GradientTransformation:
     """Adam direction; the step scales by the traced lr inside train_step.
 
-    optax.flatten: moment updates run on ONE concatenated vector.  The
-    honest comparison (full-step device traces, which are deterministic —
-    an isolated A/B with constant gradients lets XLA over-simplify) has
-    flat at ~2.06 ms vs ~2.41 ms per-leaf for the 37-leaf/17.6M default
-    tree: flatten pays two ~70 MB tiling relayouts but wins them back in
-    per-leaf fusion overhead (docs/PERFORMANCE.md round 2)."""
-    return optax.flatten(optax.chain(
+    Plain per-leaf moments.  The DEFINITIVE comparison — three full-step
+    device traces, same process, everything else fixed — is per-leaf
+    18.40 < width-grouped 18.97 < optax.flatten 19.56 ms/step on the
+    37-leaf/17.6M default tree: inside the step XLA fuses each leaf's
+    update with its gradient producer/consumer, while any flattening
+    scheme pays concat/relayout traffic it cannot win back.  (Two earlier
+    flip-flops came from bad instruments: a constant-gradient microbench
+    lets XLA over-simplify, and op-category accounting mis-attributes
+    fusions — docs/PERFORMANCE.md round 2.)"""
+    return optax.chain(
         optax.scale_by_adam(b1=beta1, b2=beta2, eps=epsilon, eps_root=0.0),
         optax.scale(-1.0),
-    ))
+    )
 
 
 def create_train_state(rng: jax.Array, model, criterion,
