@@ -110,16 +110,28 @@ class _StackedMHA(nn.Module):
         elif S < self.size_seq:
             krel = krel[:, :, :S]
 
-        from ..ops.pallas.attention import interpret_mode, use_fused_attention
+        from ..ops.pallas.attention import (_padded_len, interpret_mode,
+                                            use_fused_attention)
         from ..ops.pallas.head_attention import (fused_relpos_attention,
                                                  relpos_attention_supported)
         rate = self.dropout if train else 0.0
-        if use_fused_attention() and relpos_attention_supported(S, dk, h, B):
-            # Natural-layout path: q/k/v as (K, B*S, D) straight out of the
-            # K-batched projections; skew bias, mask, softmax, dropout and
-            # AV all inside ONE Pallas kernel (head_attention.py).  No
+        Sp = _padded_len(S)
+        if use_fused_attention() and relpos_attention_supported(Sp, dk, h, B):
+            # Natural-layout path: q/k/v as (K, B*Sp, D) straight out of
+            # the K-batched projections; skew bias, mask, softmax, dropout
+            # and AV all inside ONE Pallas kernel (head_attention.py).  No
             # (3,K,B,h,S,dk) transposes, no (K,B,h,S,S) bias tensor.
-            c2 = c.reshape(B * S, D)
+            # The Pallas tile padding (S -> Sp) is confined HERE: one pad
+            # of c and one slice of the attention output, so Wo, the
+            # residual/LN and the FFN all run at the true S (~9% of their
+            # rows at the bench config).  Causality keeps padded rows out
+            # of valid rows' attention; krel was left-padded above.
+            if Sp != S:
+                cp = jnp.pad(c, ((0, 0), (0, Sp - S), (0, 0)))
+                krel = jnp.pad(krel, ((0, 0), (0, 0), (Sp - S, 0)))
+            else:
+                cp = c
+            c2 = cp.reshape(B * Sp, D)
             q = jnp.einsum("md,kdo->kmo", c2, wq.astype(c.dtype))
             k = jnp.einsum("md,kdo->kmo", c2, wk.astype(c.dtype))
             v = jnp.einsum("md,kdo->kmo", c2, wv.astype(c.dtype))
@@ -132,6 +144,8 @@ class _StackedMHA(nn.Module):
                         % jnp.uint32(2 ** 30)).astype(jnp.float32)
             y = fused_relpos_attention(q, k, v, krel.astype(c.dtype), seed,
                                        B, h, rate, interpret_mode())
+            if Sp != S:
+                y = y.reshape(K, B, Sp, D)[:, :, :S].reshape(K, B * S, D)
         else:
             # Fallback (CPU tests, lane-padded S): merged qkv projection +
             # the reference's zero-pad/reshape skew
@@ -294,22 +308,12 @@ class StackedTransformerHeads(nn.Module):
 
     @nn.compact
     def __call__(self, c: jax.Array, train: bool = False) -> jax.Array:
-        from ..ops.pallas.attention import _padded_len, use_fused_attention
-        from ..ops.pallas.head_attention import relpos_attention_supported
-        B, S0, _ = c.shape
-        dk = self.dmodel // self.nheads
-        Sp = _padded_len(S0)
-        # Run the WHOLE stack at the Pallas tile length: padding q/k/v/bias
-        # around the attention kernel (and un-padding their gradients)
-        # measured ~5 ms/step of pure layout ops at the bench config
-        # (docs/PERFORMANCE.md round 2) — one pad of c and one slice of the
-        # output replace all of it.  Causality keeps padded rows out of the
-        # valid rows' attention; the output slice zeroes their cotangents.
-        pad = (Sp != S0 and use_fused_attention()
-               and relpos_attention_supported(Sp, dk, self.nheads, B))
-        if pad:
-            c = jnp.pad(c, ((0, 0), (0, Sp - S0), (0, 0)))
-        out = _Layer0(self.n_predicts, self.dmodel, self.size_seq,
-                      self.nheads, self.dff, self.dropout,
-                      name="layer0")(c, train)
-        return out[:, :, :S0] if pad else out
+        # The Pallas attention tile padding lives inside _StackedMHA (one
+        # pad of c, one slice of the attention output); Wo, residual/LN
+        # and the FFN all run at the true sequence length.  Earlier
+        # designs that padded per-op around the kernel (~5 ms/step of
+        # layout ops) or ran the whole stack padded (~9% wasted FFN/LN
+        # rows) are both documented in docs/PERFORMANCE.md.
+        return _Layer0(self.n_predicts, self.dmodel, self.size_seq,
+                       self.nheads, self.dff, self.dropout,
+                       name="layer0")(c, train)
