@@ -133,3 +133,27 @@ def test_two_process_multihost_train_step():
         assert m, text[-2000:]
         outs.append((m.group(1), m.group(2)))
     assert outs[0] == outs[1], outs
+
+
+def test_stream_keys_distinct_across_steps_devices_and_collections():
+    """Arithmetic stream derivation must give distinct key material per
+    (step, device) and between the sampling and dropout collections."""
+    import jax
+
+    from cpc_audio_tpu.parallel.train_step import stream_keys
+
+    base = jax.random.PRNGKey(42)
+    seen = set()
+    for step in (0, 1, 2, 1000):
+        for dev in range(8):
+            ks, kd = stream_keys(base, step, dev)
+            for k in (ks, kd):
+                bits = tuple(int(x) for x in jax.random.key_data(k).ravel())
+                assert bits not in seen, (step, dev, bits)
+                seen.add(bits)
+    # and the streams actually produce different samples
+    ks0, _ = stream_keys(base, 0, 0)
+    ks1, _ = stream_keys(base, 1, 0)
+    a = jax.random.randint(ks0, (8,), 0, 1000)
+    b = jax.random.randint(ks1, (8,), 0, 1000)
+    assert not (a == b).all()
