@@ -22,7 +22,12 @@ from .config import CPCConfig
 def _np(t) -> np.ndarray:
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t)
+    # Force a copy: torch's .numpy() ALIASES the tensor's storage, and
+    # jnp.asarray on CPU can zero-copy an aligned array — so without this,
+    # a later in-place torch update (optimizer.step()) would silently
+    # mutate the "converted" JAX parameters (bit us in the grad-parity
+    # tests, where the torch step runs before the JAX one).
+    return np.array(t, copy=True)
 
 
 def _strip_prefix(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:

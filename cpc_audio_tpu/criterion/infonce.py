@@ -45,10 +45,11 @@ def _score_pair(preds, pos, neg, inv_c: float):
     The custom backward casts dscore to the compute dtype once (12 MB)
     and keeps dpred/dpos/dneg in bf16 end to end, like the rest of the
     gradient pipeline."""
+    acc_t = jnp.promote_types(preds.dtype, jnp.float32)
     ps = jnp.einsum("kbwc,kbwc->kbw", preds, pos,
-                    preferred_element_type=jnp.float32) * inv_c
+                    preferred_element_type=acc_t) * inv_c
     ns = jnp.einsum("kbwc,bwnc->kbwn", preds, neg,
-                    preferred_element_type=jnp.float32) * inv_c
+                    preferred_element_type=acc_t) * inv_c
     return ps, ns
 
 

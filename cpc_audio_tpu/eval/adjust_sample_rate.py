@@ -67,7 +67,8 @@ def parse_args(argv):
     parser.add_argument("path_phone_files", type=str)
     parser.add_argument("path_out", type=str)
     parser.add_argument("--out_sample_rate", type=int, default=16000)
-    parser.add_argument("--file_extension", type=str, default=".flac")
+    # reference default (adjust_sample_rate.py:58): Common Voice ships mp3
+    parser.add_argument("--file_extension", type=str, default=".mp3")
     return parser.parse_args(argv)
 
 

@@ -151,13 +151,17 @@ def load_state_into(state, path: str, config: CPCConfig,
                 flat_new = [jnp.asarray(x) for x in
                             jax.tree_util.tree_leaves(blob["optimizer"])]
                 flat_cur = jax.tree_util.tree_leaves(state.opt_state)
-                # shape check too: a layout change in the optimizer (e.g.
-                # flat vs per-leaf moments) can match leaf COUNT while the
-                # shapes differ, which would only explode later inside the
-                # jitted step
-                if [getattr(a, "shape", ()) for a in flat_new] != \
-                        [getattr(a, "shape", ()) for a in flat_cur]:
-                    raise ValueError("optimizer leaf shapes differ")
+                # shape AND dtype check: a layout change in the optimizer
+                # (e.g. flat vs per-leaf moments) can match leaf COUNT
+                # while the shapes differ, and a dtype change (f32 vs
+                # bf16 moments) matches both but would silently flip the
+                # opt_state dtype — either way the jitted step's donated
+                # buffers would be wrong, so reinitialize instead
+                if [(getattr(a, "shape", ()), getattr(a, "dtype", None))
+                        for a in flat_new] != \
+                        [(getattr(a, "shape", ()), getattr(a, "dtype", None))
+                         for a in flat_cur]:
+                    raise ValueError("optimizer leaf shapes/dtypes differ")
                 treedef = jax.tree_util.tree_structure(state.opt_state)
                 opt_state = jax.tree_util.tree_unflatten(treedef, flat_new)
             except Exception:

@@ -22,6 +22,11 @@ from .ar import CPCAR, NoAr
 from .encoder import get_encoder
 from .transformer import TransformerAR
 
+# "float64" is for the x64 gradient-parity tests (tests/test_grad_parity.py),
+# not a production setting — the CLI only exposes float32/bfloat16.
+_COMPUTE_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                   "float64": jnp.float64}
+
 
 def get_ar(config: CPCConfig):
     """Flag -> AR factory (feature_loader.py:137-153)."""
@@ -44,7 +49,7 @@ class CPCModel(nn.Module):
 
     def setup(self):
         c = self.config
-        dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        dtype = _COMPUTE_DTYPES.get(c.compute_dtype, jnp.float32)
         self.gEncoder = get_encoder(c.encoder_type, c.hiddenEncoder,
                                     c.normMode, dtype=dtype)
         self.gAR = get_ar(c)
@@ -70,7 +75,7 @@ class CPCModel(nn.Module):
         c = self.config
         if c.arMode in ("no_ar", "transformer"):
             return None
-        dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        dtype = _COMPUTE_DTYPES.get(c.compute_dtype, jnp.float32)
         shape = (c.nLevelsGRU, batch, c.hiddenGar)
         if c.arMode == "LSTM":
             return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

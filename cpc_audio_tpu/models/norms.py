@@ -26,10 +26,11 @@ class ChannelNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        # x: (B, T, C); normalize over C.  Statistics in f32 for stability;
-        # output and affine params in the input dtype (a bf16 pipeline must
-        # not silently promote back to f32).
-        xf = x.astype(jnp.float32)
+        # x: (B, T, C); normalize over C.  Statistics in >=f32 for
+        # stability (promote_types keeps f64 inputs f64 for the x64 parity
+        # tests); output and affine params in the input dtype (a bf16
+        # pipeline must not silently promote back to f32).
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         # torch.var default is unbiased (N-1 denominator): model.py:53
         var = jnp.var(xf, axis=-1, keepdims=True, ddof=1)
@@ -55,7 +56,7 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: (B, T, C); normalize over T per (B, C).
-        xf = x.astype(jnp.float32)
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         mean = jnp.mean(xf, axis=1, keepdims=True)
         var = jnp.var(xf, axis=1, keepdims=True)
         y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)

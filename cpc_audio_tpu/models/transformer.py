@@ -117,8 +117,10 @@ class MultiHeadAttention(nn.Module):
                 interpret_mode())
             y = y.reshape(B, h, S, dk)
         else:
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                                preferred_element_type=jnp.float32)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k,
+                preferred_element_type=jnp.promote_types(q.dtype,
+                                                         jnp.float32))
             if bias is not None:
                 logits = logits + bias
             mask = jnp.tril(jnp.ones((S, S), bool))

@@ -106,8 +106,8 @@ def _scatter_sorted(supd, skeys2d, starts, ends, R, Rt, U, n_sub,
         num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((Rt, C), lambda c, starts, ends: (c, 0),
                                memory_space=pltpu.VMEM),

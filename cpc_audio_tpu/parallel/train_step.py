@@ -100,9 +100,7 @@ def create_train_state(rng: jax.Array, model, criterion,
     dummy = jnp.zeros(batch_shape, jnp.float32)
     model_vars = model.init({"params": k_model}, dummy, label_example,
                             train=True)
-    c, z, _, _ = model.apply(
-        model_vars, dummy, label_example, train=False,
-        **({} if "batch_stats" not in model_vars else {}))
+    c, z, _, _ = model.apply(model_vars, dummy, label_example, train=False)
     crit_vars = criterion.init(
         {"params": k_crit, "sampling": k_sample, "dropout": k_sample},
         c, z, label_example, train=False)
@@ -177,6 +175,16 @@ def make_train_step(model, criterion, optimizer, mesh: Mesh,
         params = jax.tree_util.tree_map(
             lambda p, u: p + lr * u.astype(p.dtype), state.params, updates)
         if new_stats:
+            # Deliberate deviation (docs/DESIGN.md): BatchNorm running
+            # stats are pmean'd over the data axis each step, so every
+            # replica holds the same (all-shard) statistics.  The
+            # reference's DataParallel keeps only the master GPU's
+            # replica stats (replicas re-broadcast each forward,
+            # /root/reference/cpc/model.py:69-80 under train.py:372) —
+            # i.e. stats from 1/n of the global batch.  Synced stats are
+            # the principled multi-device semantics (cf. SyncBatchNorm)
+            # and keep checkpoints replica-independent.  Pinned by
+            # tests/test_distributed.py::test_batch_stats_pmean_semantics.
             new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
         metrics = {"losses": jax.lax.pmean(losses, DATA_AXIS),
                    "acc": jax.lax.pmean(accs, DATA_AXIS)}

@@ -71,12 +71,27 @@ def _metrics_to_numpy(metrics) -> Tuple[np.ndarray, np.ndarray]:
 
 def train_epoch(loader, train_step, state, hidden, key, lr,
                 shard_fn, logging_step: int, meter=None) -> Tuple:
-    """One epoch (reference trainStep, train.py:64-121)."""
+    """One epoch (reference trainStep, train.py:64-121).
+
+    Loss/accuracy vectors accumulate in DEVICE buffers (two tiny async
+    ``jnp.add`` dispatches per step) and are read back to the host only at
+    ``logging_step`` boundaries and at epoch end.  A per-step
+    ``np.asarray`` readback — through the axon tunnel — serializes step
+    N's completion with step N+1's dispatch and cost ~15% of sustained
+    throughput (docs/PERFORMANCE.md round 3); the reference's per-batch
+    ``.item()`` equivalents are train.py:92-99."""
     import jax
+    import jax.numpy as jnp
     start_time = time.perf_counter()
     n_examples = 0
     logs, last_logs = {}, None
+    dev_sums = None            # device-side {losses, acc} running sums
     it = 0
+
+    def read_back(sums):
+        losses, acc = _metrics_to_numpy(sums)
+        return {"locLoss_train": losses, "locAcc_train": acc}
+
     for step, (batch, labels) in enumerate(loader):
         n_examples += batch.shape[0]
         b, l = shard_fn(batch, labels)
@@ -85,16 +100,13 @@ def train_epoch(loader, train_step, state, hidden, key, lr,
         # split here would dispatch a ~0.7 ms scalar-threefry program to
         # the device every step.
         state, hidden, metrics = train_step(state, b, l, hidden, key, lr)
-        losses, acc = _metrics_to_numpy(metrics)
+        dev_sums = metrics if dev_sums is None else \
+            jax.tree_util.tree_map(jnp.add, dev_sums, metrics)
         if meter is not None:
             meter.update(batch.shape[0])
-        if "locLoss_train" not in logs:
-            logs["locLoss_train"] = np.zeros(losses.shape[0])
-            logs["locAcc_train"] = np.zeros(losses.shape[0])
         it += 1
-        logs["locLoss_train"] += losses
-        logs["locAcc_train"] += acc
         if (step + 1) % logging_step == 0:
+            logs = read_back(dev_sums)       # sync point (backpressure)
             elapsed = time.perf_counter() - start_time
             print(f"Update {step + 1}")
             print(f"elapsed: {elapsed:.1f} s")
@@ -106,6 +118,8 @@ def train_epoch(loader, train_step, state, hidden, key, lr,
             last_logs = deepcopy(logs)
             utils.show_logs("Training loss", loc_logs)
             start_time, n_examples = time.perf_counter(), 0
+    if it:
+        logs = read_back(dev_sums)
     logs = utils.update_logs(logs, it)
     logs["iter"] = it
     utils.show_logs("Average training loss on epoch", logs)
@@ -113,20 +127,22 @@ def train_epoch(loader, train_step, state, hidden, key, lr,
 
 
 def val_epoch(loader, val_step, state, hidden, key, shard_fn) -> Tuple:
-    """Validation pass (reference valStep, train.py:122-155)."""
+    """Validation pass (reference valStep, train.py:122-155).  Metrics
+    accumulate on device; one host readback at the end."""
     import jax
+    import jax.numpy as jnp
     logs = {}
+    dev_sums = None
     it = 0
     for step, (batch, labels) in enumerate(loader):
         b, l = shard_fn(batch, labels)
         hidden, metrics = val_step(state, b, l, hidden, key, step)
-        losses, acc = _metrics_to_numpy(metrics)
-        if "locLoss_val" not in logs:
-            logs["locLoss_val"] = np.zeros(losses.shape[0])
-            logs["locAcc_val"] = np.zeros(losses.shape[0])
+        dev_sums = metrics if dev_sums is None else \
+            jax.tree_util.tree_map(jnp.add, dev_sums, metrics)
         it += 1
-        logs["locLoss_val"] += losses
-        logs["locAcc_val"] += acc
+    if it:
+        losses, acc = _metrics_to_numpy(dev_sums)
+        logs = {"locLoss_val": losses, "locAcc_val": acc}
     logs = utils.update_logs(logs, max(it, 1))
     logs["iter"] = it
     utils.show_logs("Validation loss:", logs)
@@ -194,7 +210,7 @@ def run(train_dataset: AudioBatchData, val_dataset: AudioBatchData,
 
         if "locAcc_val" in loc_logs_val:
             current_acc = float(np.mean(loc_logs_val["locAcc_val"]))
-        else:
+        elif "locAcc_train" in loc_logs_train:
             # Fixed-shape batching drops ragged tails, so a validation
             # split smaller than one batch yields ZERO val batches (the
             # reference's ragged loader always yields at least one).
@@ -202,6 +218,12 @@ def run(train_dataset: AudioBatchData, val_dataset: AudioBatchData,
             print("WARNING: validation set smaller than one batch; "
                   "tracking best checkpoint on train accuracy")
             current_acc = float(np.mean(loc_logs_train["locAcc_train"]))
+        else:
+            # Both splits smaller than one batch: nothing to rank on —
+            # keep best_acc/best_state unchanged rather than KeyError.
+            print("WARNING: neither split produced a batch this epoch; "
+                  "best checkpoint unchanged")
+            current_acc = best_acc
         if current_acc > best_acc:
             best_acc = current_acc
             best_state = ckpt.to_numpy_tree(state.params["model"])

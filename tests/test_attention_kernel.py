@@ -128,16 +128,19 @@ def test_mha_module_fused_matches_xla(monkeypatch):
 
 
 def test_stacked_heads_padded_fused_matches_xla(monkeypatch):
-    """StackedTransformerHeads runs the whole stack at the Pallas tile
-    length (pad-once strategy) when the fused kernel is on; with a
-    non-tile W (W=20 -> Sp=24) the padded fused path (interpret mode) must
-    reproduce the unpadded XLA path exactly — values and grads — including
-    the left-padded Krelpos skew."""
+    """StackedTransformerHeads with W=20 -> Sp=24: Sp % 128 != 0, so
+    relpos_attention_supported rejects it and the module takes the
+    bias-input fallback kernel (fused_causal_attention) with the
+    reference zero-pad/reshape skew computed in XLA.  That padded
+    fallback path (interpret mode) must reproduce the unpadded XLA path
+    exactly — values and grads.  Module-level coverage of the natural
+    -layout relpos kernel itself is the W=116 test below
+    (test_stacked_heads_lane_full_padded_path)."""
     from cpc_audio_tpu.criterion.stacked_heads import StackedTransformerHeads
 
     monkeypatch.setenv("CPC_PALLAS_ATTN_INTERPRET", "1")
     rng = np.random.RandomState(7)
-    K, B, W, D = 4, 2, 20, 64  # dk = 8: the fused relpos kernel engages
+    K, B, W, D = 4, 2, 20, 64
     c = _rand(rng, (B, W, D), jnp.float32)
     net = StackedTransformerHeads(K, D, W)
     monkeypatch.setenv("CPC_PALLAS_ATTN", "0")

@@ -101,6 +101,83 @@ def test_sharded_step_equals_manual_dataparallel_replay():
                                np.mean(all_losses, axis=0), rtol=1e-5)
 
 
+def test_batch_stats_pmean_semantics():
+    """Pins the deliberate BatchNorm deviation (docs/DESIGN.md): after a
+    sharded train step with --normMode batchNorm, the state's running
+    stats equal the MEAN over devices of each shard's locally-updated
+    stats (SyncBatchNorm semantics) — not the master replica's stats as
+    in the reference's DataParallel (model.py:69-80, train.py:372)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpc_audio_tpu.config import CPCConfig
+    from cpc_audio_tpu.criterion import CPCUnsupervisedCriterion
+    from cpc_audio_tpu.models import build_model
+    from cpc_audio_tpu.parallel import (create_train_state, get_mesh,
+                                        make_optimizer, make_train_step,
+                                        shard_batch)
+    from cpc_audio_tpu.parallel.train_step import _forward_loss, stream_keys
+
+    n_dev = 4
+    config = CPCConfig(hiddenEncoder=16, hiddenGar=16, nPredicts=2,
+                       negativeSamplingExt=4, sizeWindow=3200,
+                       arMode="GRU", rnnMode="linear", normMode="batchNorm")
+    model = build_model(config)
+    criterion = CPCUnsupervisedCriterion(
+        n_predicts=config.nPredicts, dim_output_ar=config.hiddenGar,
+        dim_output_encoder=config.hiddenEncoder,
+        negative_sampling_ext=config.negativeSamplingExt,
+        rnn_mode=config.rnnMode,
+        size_input_seq=config.sizeWindow // 160)
+    optimizer = make_optimizer(config.beta1, config.beta2, config.epsilon)
+    state0 = create_train_state(jax.random.PRNGKey(0), model, criterion,
+                                optimizer, (1, 1, config.sizeWindow))
+    assert state0.batch_stats, "batchNorm config must carry batch_stats"
+
+    rng = np.random.RandomState(11)
+    # distinct per-shard data so per-shard stats genuinely differ
+    batch_np = rng.randn(2 * n_dev, 1, config.sizeWindow).astype(np.float32)
+    batch_np[8:] *= 3.0
+    key, lr = jax.random.PRNGKey(5), 2e-4
+
+    mesh = get_mesh(n_dev)
+    train_step = make_train_step(model, criterion, optimizer, mesh,
+                                 donate=False)
+    state1, _, _ = train_step(state0, shard_batch(mesh, batch_np),
+                              None, None, key, lr)
+
+    # manual replay: per-shard local stats, then mean over shards
+    shards = np.split(batch_np, n_dev, axis=0)
+    per_dev_stats = []
+    for d in range(n_dev):
+        k_sample, k_drop = stream_keys(key, 0, d)
+        rngs = {"sampling": k_sample, "dropout": k_drop}
+        _, _, new_stats, _ = _forward_loss(
+            model, criterion, state0.params, state0.batch_stats,
+            jnp.asarray(shards[d]), None, None, rngs, train=True)
+        per_dev_stats.append(new_stats)
+    mean_stats = jax.tree_util.tree_map(
+        lambda *xs: jnp.mean(jnp.stack(xs), axis=0), *per_dev_stats)
+
+    got = dict(jax.tree_util.tree_leaves_with_path(state1.batch_stats))
+    want = jax.tree_util.tree_leaves_with_path(mean_stats)
+    assert want
+    changed = False
+    for path, leaf in want:
+        np.testing.assert_allclose(np.asarray(got[path]), np.asarray(leaf),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(path))
+        changed |= not np.allclose(np.asarray(leaf),
+                                   np.asarray(dict(
+                                       jax.tree_util.tree_leaves_with_path(
+                                           state0.batch_stats))[path]))
+    assert changed, "stats never moved — test would pass vacuously"
+    # and the synced stats differ from any single shard's local stats
+    d0 = dict(jax.tree_util.tree_leaves_with_path(per_dev_stats[0]))
+    assert any(not np.allclose(np.asarray(got[p]), np.asarray(d0[p]))
+               for p, _ in want)
+
+
 def test_two_process_multihost_train_step():
     """2-process jax.distributed simulation (CPU, 2 virtual devices per
     process): one REAL sharded train step over the global 4-device mesh.
