@@ -272,15 +272,23 @@ class ModelPhoneCombined:
 
 
 def build_feature(feature_maker, seq_path: str, strict: bool = False,
-                  max_size_seq: int = 64000, seq_norm: bool = False
-                  ) -> np.ndarray:
+                  max_size_seq: int = 64000, seq_norm: bool = False,
+                  pad_tail: bool = True) -> np.ndarray:
     """Chunked long-file inference (feature_loader.py:228-269).
 
     Returns (1, n_frames, C).  Non-strict: the ragged tail chunk is
-    right-padded to max_size_seq and only its valid frames kept (exact for
-    causal ARs, and keeps one compiled shape on TPU).  Strict: the tail is
-    re-run as a full-size chunk ending at the file end and only the missing
-    frames appended (feature_loader.py:246-268)."""
+    right-padded to max_size_seq and only its valid frames kept, which
+    keeps ONE compiled shape on TPU.  The padding is exact except for the
+    LAST frame of the file: its receptive field reaches past the audio
+    end, where the reference's unpadded conv sees edge padding at the
+    true length while the padded run sees zero *samples* (frames computed
+    purely from those zeros are bias+norm-valued and feed later conv
+    layers differently).  ``pad_tail=False`` runs the tail at its true
+    length instead — bit-matching the reference ``buildFeature`` on every
+    frame (test_export_roundtrip.py) at the cost of one extra compiled
+    shape per distinct tail length.  Strict: the tail is re-run as a
+    full-size chunk ending at the file end and only the missing frames
+    appended (feature_loader.py:246-268)."""
     seq = decode_file(seq_path)
     if hasattr(feature_maker, "reset"):
         feature_maker.reset()
@@ -295,7 +303,7 @@ def build_feature(feature_maker, seq_path: str, strict: bool = False,
         end = min(size_seq, start + max_size_seq)
         chunk = seq[start:end]
         valid_frames = len(chunk) // ds
-        if len(chunk) < max_size_seq:
+        if len(chunk) < max_size_seq and pad_tail:
             chunk = np.pad(chunk, (0, max_size_seq - len(chunk)))
         features = feature_maker((chunk[None, None, :], None))
         features = features[:, :valid_frames]
