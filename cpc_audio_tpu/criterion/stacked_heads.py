@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -47,7 +47,12 @@ def _relu_dropout(h, bits, keep: float):
     nominal value, matching flax's convention of rescaling by the
     requested rate rather than the realized one."""
     nbits = jnp.iinfo(bits.dtype).bits
-    thresh = jnp.asarray(int(round(keep * (1 << nbits))), bits.dtype)
+    # Clamp to the dtype max: keep >= 1 - 2^-nbits rounds to 2^nbits,
+    # which overflows the dtype at trace time.  The clamped threshold
+    # keeps (2^nbits - 1)/2^nbits of units — the closest representable
+    # keep probability below 1 for the given bit width.
+    thresh = jnp.asarray(
+        min(int(round(keep * (1 << nbits))), (1 << nbits) - 1), bits.dtype)
     mask = (bits < thresh).astype(h.dtype)
     return jnp.maximum(h, 0) * (mask * jnp.asarray(1.0 / keep, h.dtype))
 
@@ -184,8 +189,10 @@ class _StackedMHA(nn.Module):
                     rate, interpret_mode())
                 y = y.reshape(K, B, h, S, dk)
             else:
-                logits = jnp.einsum("kbhqd,kbhxd->kbhqx", q, k,
-                                    preferred_element_type=jnp.float32)
+                logits = jnp.einsum(
+                    "kbhqd,kbhxd->kbhqx", q, k,
+                    preferred_element_type=jnp.promote_types(q.dtype,
+                                                             jnp.float32))
                 logits = (logits + bias) / math.sqrt(dk)
                 mask = jnp.tril(jnp.ones((S, S), bool))
                 logits = jnp.where(mask, logits, -jnp.inf)
@@ -200,18 +207,22 @@ class _StackedMHA(nn.Module):
 
 
 class _StackedLN(nn.Module):
-    """Params mirror nn.vmap(LayerNorm): weight/bias (K, D)."""
+    """Params mirror nn.vmap(LayerNorm): weight/bias (K, D).  Called with
+    ``x=None`` it only declares and returns the params (the fused-tail
+    path applies the math inside the Pallas kernel)."""
 
     n_predicts: int
     dmodel: int
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: Optional[jax.Array] = None):
         w = self.param("weight", nn.initializers.ones,
                        (self.n_predicts, self.dmodel))
         b = self.param("bias", nn.initializers.zeros,
                        (self.n_predicts, self.dmodel))
+        if x is None:
+            return w, b
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
@@ -229,7 +240,8 @@ class _StackedFFN(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: Optional[jax.Array] = None,
+                 train: bool = False):
         K, D, F = self.n_predicts, self.dmodel, self.dff
         i1, i2 = _torch_linear_init(D), _torch_linear_init(F)
 
@@ -245,6 +257,8 @@ class _StackedFFN(nn.Module):
 
         w1, b1 = _Lin((K, D, F), i1, name="lin1")()
         w2, b2 = _Lin((K, F, D), i2, name="lin2")()
+        if x is None:
+            return w1, b1, w2, b2
         _, B, S, _ = x.shape
         m = x.reshape(K, B * S, D)
         # compute-dtype einsums: f32 accumulation happens inside the MXU;
@@ -286,12 +300,41 @@ class _Layer0(nn.Module):
                           self.nheads, self.dropout,
                           name="multihead")(c, train)
         x = c[None] + att                                    # (K,B,S,D)
-        y = _StackedLN(self.n_predicts, self.dmodel,
-                       name="ln_multihead")(x)
-        ff = _StackedFFN(self.n_predicts, self.dmodel, self.dff,
-                         self.dropout, name="ffnetwork")(y, train)
-        return _StackedLN(self.n_predicts, self.dmodel,
-                          name="ln_ffnetwork")(y + ff)
+        ln1 = _StackedLN(self.n_predicts, self.dmodel, name="ln_multihead")
+        ffn = _StackedFFN(self.n_predicts, self.dmodel, self.dff,
+                          self.dropout, name="ffnetwork")
+        ln2 = _StackedLN(self.n_predicts, self.dmodel, name="ln_ffnetwork")
+
+        from ..ops.pallas.ffn import (ffn_interpret_mode, fused_layer_tail,
+                                      fused_tail_supported, use_fused_ffn)
+        K, B, S, D = x.shape
+        rate = self.dropout if train else 0.0
+        if use_fused_ffn() and fused_tail_supported(B * S, D, self.dff):
+            # LN1 -> FFN -> residual -> LN2 as ONE Pallas kernel: the
+            # (K*B*S, dff) hidden and the dropout bits never touch HBM,
+            # and the backward recomputes the tail from x alone
+            # (ops/pallas/ffn.py).  Identical param tree; in-kernel LN
+            # stats are f32 (vs compute-dtype here), in-kernel dropout is
+            # the TPU core PRNG stream (statistically equivalent — same
+            # deviation as the attention kernels, docs/DESIGN.md).
+            lw1, lb1 = ln1()
+            w1, b1, w2, b2 = ffn()
+            lw2, lb2 = ln2()
+            seed = jnp.zeros((1,), jnp.float32)
+            if rate > 0.0:
+                rng = self.make_rng("dropout")
+                bits = jax.random.key_data(rng) \
+                    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else rng
+                seed = (jnp.asarray(bits).reshape(-1)[-1:]
+                        % jnp.uint32(2 ** 30)).astype(jnp.float32)
+            out = fused_layer_tail(
+                x.reshape(K, B * S, D), lw1, lb1,
+                w1.astype(x.dtype), b1, w2.astype(x.dtype), b2,
+                lw2, lb2, seed, rate, 1e-5, ffn_interpret_mode())
+            return out.reshape(K, B, S, D)
+        y = ln1(x)
+        ff = ffn(y, train)
+        return ln2(y + ff)
 
 
 class StackedTransformerHeads(nn.Module):
