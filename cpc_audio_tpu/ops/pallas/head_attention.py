@@ -125,14 +125,15 @@ def _unskew(ds):
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, ds_ref, *,
+                dq_ref, dk_ref, dv_ref, dkrel_ref, *,
                 rate: float, nheads: int, tb: int, interpret: bool):
-    """Recompute-style backward.  Emits dq/dk/dv for the QK^T (+AV) part
-    plus dqp = unskew(ds), the rel-pos logits gradient, already
-    permuted IN-KERNEL (the XLA pad/reshape unskew of the (K,B,h,S,S)
-    tensor measured ~1 ms/step of pure relayout).  The remaining rel-pos
-    contributions (dq += dqp @ krel^T, dKrelpos) are two XLA einsums on
-    dqp outside the kernel (see _fr_bwd)."""
+    """Recompute-style backward.  The WHOLE rel-pos adjoint now stays
+    in-kernel: dqp = unskew(ds) is contracted immediately into
+    dq += dqp @ krel^T (per head) and into the (dk, S) dKrelpos
+    accumulator (revisited across the b-tile axis, flushed per k).
+    Earlier revisions emitted dqp to HBM — a (K,B,h,S,S) bf16 tensor is
+    402 MB at the bench config, and the two XLA einsums consuming it
+    re-read it twice (~1.2 GB of pure dqp traffic per step)."""
     M, D = q_ref.shape[1:]
     S = M // tb
     dk = D // nheads
@@ -141,6 +142,11 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
     f32 = jnp.float32
     pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     krel = krel_ref[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dkrel_ref[0] = jnp.zeros_like(dkrel_ref[0])
+
     for h in range(nheads):
         sl = slice(h * dk, (h + 1) * dk)
         # operands stay in the input dtype (bf16 in training): MXU does
@@ -172,10 +178,23 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
                                   preferred_element_type=f32)
         dkh = jax.lax.dot_general(ds_c, qh, (((1,), (1,)), ((0,), (0,))),
                                   preferred_element_type=f32)
-        dq_ref[0, :, sl] = dqh.reshape(M, dk).astype(dq_ref.dtype)
         dk_ref[0, :, sl] = dkh.reshape(M, dk).astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dvh.reshape(M, dk).astype(dv_ref.dtype)
-        ds_ref[0, :, h] = _unskew(ds).astype(ds_ref.dtype)
+        # rel-pos adjoint, fully in-kernel: bias[t,i,j] contributes
+        # qp[t,i,r] = q[t,i,:] . krel[:,r] through the skew, so
+        # dq += dqp @ krel^T and dkrel += sum_{t,i} q[t,i,:]^T dqp[t,i,:]
+        # (ds already carries the inv_sqrt factor, like the fwd bias).
+        dqp = _unskew(ds).astype(do.dtype)                  # (tb, S, S)
+        dq_rel = jax.lax.dot_general(dqp, krel, (((2,), (1,)), ((), ())),
+                                     preferred_element_type=f32)
+        dq_ref[0, :, sl] = (dqh + dq_rel).reshape(M, dk) \
+            .astype(dq_ref.dtype)
+        # single contracting dim (Mosaic rejects multi-dim contractions):
+        # flatten (t, i) into one axis on both operands
+        dkrel_ref[0] += jax.lax.dot_general(
+            qh.reshape(M, dk), dqp.reshape(M, S),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                     # (dk, S)
 
 
 def _pick_tb(n_b: int) -> int:
@@ -188,6 +207,15 @@ def _pick_tb(n_b: int) -> int:
         if tb <= n_b and n_b % tb == 0:
             return tb
     return 1
+
+
+def _compiler_params():
+    """Raise Mosaic's 16 MB default scoped-vmem budget so tb=16 tiles
+    compile (the v5e physical VMEM is far larger); CPC_ATTN_VMEM_LIMIT
+    overrides for tuning."""
+    import os
+    limit = int(float(os.environ.get("CPC_ATTN_VMEM_LIMIT", "40e6")))
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
 def _specs(K, n_tiles, tb, S, D, dk, interpret):
@@ -226,6 +254,7 @@ def _fr_fwd(q, k, v, krel, seed, n_batch, nheads, rate, interpret):
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct((K, M, D), q.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(seed_row, q, k, v, krel)
     return out, (q, k, v, krel, seed)
 
@@ -239,28 +268,23 @@ def _fr_bwd(n_batch, nheads, rate, interpret, res, dout):
     row, krel_spec, seed_spec = _specs(K, n_batch // tb, tb, S, D, dk,
                                        interpret)
     mem = {} if interpret else {"memory_space": pltpu.VMEM}
-    ds_spec = pl.BlockSpec((1, tb, nheads, S, S),
-                           lambda k, b: (k, b, 0, 0, 0), **mem)
+    # dKrelpos accumulator: block index constant in b -> VMEM resident
+    # across the batch tiles, flushed once per k (16 KB f32).
+    dkrel_spec = pl.BlockSpec((1, dk, S), lambda k, b: (k, 0, 0), **mem)
     seed_row = jnp.broadcast_to(seed.reshape(-1)[:1, None], (1, 128))
-    dq, dkk, dv, dqp = pl.pallas_call(
+    dq, dkk, dv, dkrel = pl.pallas_call(
         functools.partial(_bwd_kernel, rate=rate, nheads=nheads, tb=tb,
                           interpret=interpret),
         grid=(K, n_batch // tb),
         in_specs=[seed_spec, row, row, row, krel_spec, row],
-        out_specs=(row, row, row, ds_spec),
+        out_specs=(row, row, row, dkrel_spec),
         out_shape=(jax.ShapeDtypeStruct((K, M, D), q.dtype),
                    jax.ShapeDtypeStruct((K, M, D), k.dtype),
                    jax.ShapeDtypeStruct((K, M, D), v.dtype),
-                   jax.ShapeDtypeStruct((K, n_batch, nheads, S, S),
-                                        q.dtype)),
+                   jax.ShapeDtypeStruct((K, dk, S), jnp.float32)),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(seed_row, q, k, v, krel, dout)
-    # dqp = unskew(ds) comes pre-permuted from the kernel (see _unskew).
-    # dq += dqp @ krel^T, per head; dkrel = sum over (b, i, heads) q^T dqp
-    q4 = q.reshape(K, n_batch, S, nheads, dk)
-    dq_rel = jnp.einsum("kbhir,kdr->kbihd", dqp, krel.astype(dqp.dtype))
-    dq = dq + dq_rel.reshape(K, M, D).astype(dq.dtype)
-    dkrel = jnp.einsum("kbihd,kbhir->kdr", q4.astype(dqp.dtype), dqp)
     return dq, dkk, dv, dkrel.astype(krel.dtype), jnp.zeros_like(seed)
 
 
@@ -280,8 +304,251 @@ def relpos_attention_supported(S: int, dk: int, nheads: int,
     tb = _pick_tb(n_batch)
     vmem = (4 * tb * S * nheads * dk * 4        # q/k/v/o one head f32-ish
             + 6 * tb * S * S * 4)               # p/ds/dqp/... f32 temps
-    # tb=8 (7.3 MB estimate) compiles; tb=16 (14.7 MB) dies in Mosaic
-    # VMEM allocation on v5e — the cap keeps oversized tiles on the
-    # XLA fallback instead of failing the compile.
-    cap = float(os.environ.get("CPC_ATTN_VMEM_CAP", "8e6"))
+    # the estimate must stay inside the scoped-vmem budget passed to the
+    # compiler (_compiler_params), with headroom for pipeline buffers
+    limit = float(os.environ.get("CPC_ATTN_VMEM_LIMIT", "40e6"))
+    cap = float(os.environ.get("CPC_ATTN_VMEM_CAP", str(0.8 * limit)))
     return S % 128 == 0 and dk % 8 == 0 and S <= 512 and vmem < cap
+
+
+# --------------------------------------------------------------------------
+# Fourth-generation kernel: the whole attention BLOCK in-kernel.
+#
+# fused_relpos_attention still leaves four (K, M, D) tensors in HBM per
+# direction: the q/k/v projections feeding it and the attention output y
+# consumed by the Wo projection and the residual add.  This op moves the
+# projections, Wo and the residual into the kernel: c -> x = c + att@Wo
+# with NOTHING intermediate touching HBM.  The weight gradients
+# (dWq/dWk/dWv/dWo, f32 (D, D) blocks) accumulate across the batch-tile
+# axis exactly like dKrelpos; the input gradient is emitted per head
+# stack (dcp) and reduced over K together with the residual cotangent by
+# the XLA epilogue in _fb_bwd.
+# --------------------------------------------------------------------------
+
+
+def _block_fwd_kernel(seed_ref, c_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                      krel_ref, x_ref, *,
+                      rate: float, nheads: int, tb: int, interpret: bool):
+    Mp, D = c_ref.shape
+    S = Mp // tb
+    dk = D // nheads
+    inv_sqrt = 1.0 / math.sqrt(dk)
+    mask = _causal_mask(S)
+    f32 = jnp.float32
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    krel = krel_ref[0]
+    c = c_ref[:]
+    # projections in the input dtype (bf16 MXU with f32 accumulation),
+    # like the XLA path's einsums
+    q = jax.lax.dot_general(c, wq_ref[0], (((1,), (0,)), ((), ())))
+    k = jax.lax.dot_general(c, wk_ref[0], (((1,), (0,)), ((), ())))
+    v = jax.lax.dot_general(c, wv_ref[0], (((1,), (0,)), ((), ())))
+    outs = []
+    for h in range(nheads):
+        sl = slice(h * dk, (h + 1) * dk)
+        qh = q[:, sl].reshape(tb, S, dk)
+        kh = k[:, sl].reshape(tb, S, dk)
+        vh = v[:, sl].reshape(tb, S, dk)
+        p = _attend_fwd(qh, kh, krel, mask, inv_sqrt, interpret)
+        if rate > 0.0:
+            p = p * _dropout_mask(p.shape, rate, seed_ref[0, 0],
+                                  pid * nheads + h, interpret)
+        o = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=f32)
+        outs.append(o.reshape(Mp, dk).astype(c.dtype))
+    y = jnp.concatenate(outs, axis=1)
+    att = jax.lax.dot_general(y, wo_ref[0], (((1,), (0,)), ((), ())))
+    x_ref[0] = (c + att).astype(x_ref.dtype)
+
+
+def _block_bwd_kernel(seed_ref, c_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                      krel_ref, wqt_ref, wkt_ref, wvt_ref, wot_ref, dx_ref,
+                      dcp_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref,
+                      dkrel_ref, *,
+                      rate: float, nheads: int, tb: int, interpret: bool):
+    Mp, D = c_ref.shape
+    S = Mp // tb
+    dk = D // nheads
+    inv_sqrt = 1.0 / math.sqrt(dk)
+    mask = _causal_mask(S)
+    f32 = jnp.float32
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    krel = krel_ref[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dwq_ref[0] = jnp.zeros_like(dwq_ref[0])
+        dwk_ref[0] = jnp.zeros_like(dwk_ref[0])
+        dwv_ref[0] = jnp.zeros_like(dwv_ref[0])
+        dwo_ref[0] = jnp.zeros_like(dwo_ref[0])
+        dkrel_ref[0] = jnp.zeros_like(dkrel_ref[0])
+
+    c = c_ref[:]
+    q = jax.lax.dot_general(c, wq_ref[0], (((1,), (0,)), ((), ())))
+    k = jax.lax.dot_general(c, wk_ref[0], (((1,), (0,)), ((), ())))
+    v = jax.lax.dot_general(c, wv_ref[0], (((1,), (0,)), ((), ())))
+    dx = dx_ref[0]
+    # Wo backward: dy = dx @ Wo^T (pre-transposed input for the fast
+    # contract-last-with-first orientation)
+    dy = jax.lax.dot_general(dx, wot_ref[0], (((1,), (0,)), ((), ())))
+    dq_parts, dk_parts, dv_parts, y_parts = [], [], [], []
+    for h in range(nheads):
+        sl = slice(h * dk, (h + 1) * dk)
+        qh = q[:, sl].reshape(tb, S, dk)
+        kh = k[:, sl].reshape(tb, S, dk)
+        vh = v[:, sl].reshape(tb, S, dk)
+        do = dy[:, sl].reshape(tb, S, dk)
+        p = _attend_fwd(qh, kh, krel, mask, inv_sqrt, interpret)
+        if rate > 0.0:
+            drop = _dropout_mask(p.shape, rate, seed_ref[0, 0],
+                                 pid * nheads + h, interpret)
+            pd = p * drop
+        else:
+            pd = p
+        pd_c = pd.astype(do.dtype)
+        y_parts.append(jax.lax.dot_general(
+            pd_c, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32).reshape(Mp, dk).astype(c.dtype))
+        dvh = jax.lax.dot_general(pd_c, do, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+        dpd = jax.lax.dot_general(do, vh, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+        dp = dpd * drop if rate > 0.0 else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds * inv_sqrt
+        ds_c = ds.astype(do.dtype)
+        dqh = jax.lax.dot_general(ds_c, kh, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+        dkh = jax.lax.dot_general(ds_c, qh, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+        dqp = _unskew(ds).astype(do.dtype)
+        dq_rel = jax.lax.dot_general(dqp, krel, (((2,), (1,)), ((), ())),
+                                     preferred_element_type=f32)
+        dq_parts.append((dqh + dq_rel).reshape(Mp, dk).astype(c.dtype))
+        dk_parts.append(dkh.reshape(Mp, dk).astype(c.dtype))
+        dv_parts.append(dvh.reshape(Mp, dk).astype(c.dtype))
+        dkrel_ref[0] += jax.lax.dot_general(
+            qh.reshape(Mp, dk), dqp.reshape(Mp, S),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dq = jnp.concatenate(dq_parts, axis=1)
+    dkk = jnp.concatenate(dk_parts, axis=1)
+    dv = jnp.concatenate(dv_parts, axis=1)
+    y = jnp.concatenate(y_parts, axis=1)
+    # weight gradients, f32-accumulated across the batch tiles
+    dwq_ref[0] += jax.lax.dot_general(c, dq, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+    dwk_ref[0] += jax.lax.dot_general(c, dkk, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+    dwv_ref[0] += jax.lax.dot_general(c, dv, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+    dwo_ref[0] += jax.lax.dot_general(y, dx.astype(c.dtype),
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+    # projection input gradient for this head stack (the residual part
+    # and the sum over k happen in the XLA epilogue)
+    dcp = jax.lax.dot_general(dq, wqt_ref[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    dcp += jax.lax.dot_general(dkk, wkt_ref[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+    dcp += jax.lax.dot_general(dv, wvt_ref[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+    dcp_ref[0] = dcp.astype(dcp_ref.dtype)
+
+
+def _block_specs(K, tb, S, D, dk, interpret):
+    mem = {} if interpret else {"memory_space": pltpu.VMEM}
+    c_spec = pl.BlockSpec((tb * S, D), lambda k, b: (b, 0), **mem)
+    x_spec = pl.BlockSpec((1, tb * S, D), lambda k, b: (k, b, 0), **mem)
+    w_spec = pl.BlockSpec((1, D, D), lambda k, b: (k, 0, 0), **mem)
+    krel_spec = pl.BlockSpec((1, dk, S), lambda k, b: (k, 0, 0), **mem)
+    seed_spec = pl.BlockSpec((1, 128), lambda k, b: (0, 0), **mem)
+    return c_spec, x_spec, w_spec, krel_spec, seed_spec, mem
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_attention_block(c, wq, wk, wv, wo, krel, seed, n_batch: int,
+                          nheads: int = 8, rate: float = 0.0,
+                          interpret: bool = False):
+    """c: (n_batch*S, D); wq/wk/wv/wo: (K, D, D); krel: (K, dk, S);
+    seed: (1,) f32.  Returns x = c[None] + causal_relpos_attention@Wo,
+    shape (K, n_batch*S, D) — the full pre-LN attention block of the
+    stacked prediction heads (reference transformers.py:52-96 without
+    the trailing LN, which the tail kernel owns)."""
+    out, _ = _fb_fwd(c, wq, wk, wv, wo, krel, seed, n_batch, nheads, rate,
+                     interpret)
+    return out
+
+
+def _fb_fwd(c, wq, wk, wv, wo, krel, seed, n_batch, nheads, rate,
+            interpret):
+    M, D = c.shape
+    K = wq.shape[0]
+    S = M // n_batch
+    dk = D // nheads
+    tb = _pick_tb(n_batch)
+    c_spec, x_spec, w_spec, krel_spec, seed_spec, _ = _block_specs(
+        K, tb, S, D, dk, interpret)
+    seed_row = jnp.broadcast_to(seed.reshape(-1)[:1, None], (1, 128))
+    out = pl.pallas_call(
+        functools.partial(_block_fwd_kernel, rate=rate, nheads=nheads,
+                          tb=tb, interpret=interpret),
+        grid=(K, n_batch // tb),
+        in_specs=[seed_spec, c_spec, w_spec, w_spec, w_spec, w_spec,
+                  krel_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((K, M, D), c.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(seed_row, c, wq, wk, wv, wo, krel)
+    return out, (c, wq, wk, wv, wo, krel, seed)
+
+
+def _fb_bwd(n_batch, nheads, rate, interpret, res, dout):
+    c, wq, wk, wv, wo, krel, seed = res
+    M, D = c.shape
+    K = wq.shape[0]
+    S = M // n_batch
+    dk = D // nheads
+    tb = _pick_tb(n_batch)
+    c_spec, x_spec, w_spec, krel_spec, seed_spec, mem = _block_specs(
+        K, tb, S, D, dk, interpret)
+    dw_spec = pl.BlockSpec((1, D, D), lambda k, b: (k, 0, 0), **mem)
+    dkrel_spec = pl.BlockSpec((1, dk, S), lambda k, b: (k, 0, 0), **mem)
+    seed_row = jnp.broadcast_to(seed.reshape(-1)[:1, None], (1, 128))
+    f32 = jnp.float32
+    wqt = jnp.swapaxes(wq, 1, 2)
+    wkt = jnp.swapaxes(wk, 1, 2)
+    wvt = jnp.swapaxes(wv, 1, 2)
+    wot = jnp.swapaxes(wo, 1, 2)
+    dcp, dwq, dwk, dwv, dwo, dkrel = pl.pallas_call(
+        functools.partial(_block_bwd_kernel, rate=rate, nheads=nheads,
+                          tb=tb, interpret=interpret),
+        grid=(K, n_batch // tb),
+        in_specs=[seed_spec, c_spec, w_spec, w_spec, w_spec, w_spec,
+                  krel_spec, w_spec, w_spec, w_spec, w_spec, x_spec],
+        out_specs=(x_spec, dw_spec, dw_spec, dw_spec, dw_spec, dkrel_spec),
+        out_shape=(jax.ShapeDtypeStruct((K, M, D), c.dtype),
+                   jax.ShapeDtypeStruct((K, D, D), f32),
+                   jax.ShapeDtypeStruct((K, D, D), f32),
+                   jax.ShapeDtypeStruct((K, D, D), f32),
+                   jax.ShapeDtypeStruct((K, D, D), f32),
+                   jax.ShapeDtypeStruct((K, dk, S), f32)),
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(seed_row, c, wq, wk, wv, wo, krel, wqt, wkt, wvt, wot, dout)
+    # epilogue: projection input grads + the residual cotangent, summed
+    # over the K head stacks (c broadcasts into every stack)
+    dc = jnp.sum(dcp + dout, axis=0).astype(c.dtype)
+    return (dc, dwq.astype(wq.dtype), dwk.astype(wk.dtype),
+            dwv.astype(wv.dtype), dwo.astype(wo.dtype),
+            dkrel.astype(krel.dtype), jnp.zeros_like(seed))
+
+
+def _fb_fwd_rule(c, wq, wk, wv, wo, krel, seed, n_batch, nheads, rate,
+                 interpret):
+    return _fb_fwd(c, wq, wk, wv, wo, krel, seed, n_batch, nheads, rate,
+                   interpret)
+
+
+fused_attention_block.defvjp(_fb_fwd_rule, _fb_bwd)
