@@ -90,6 +90,9 @@ class _StackedMHA(nn.Module):
     size_seq: int
     nheads: int = 8
     dropout: float = 0.1
+    # True: return c + attention (the residual add rides inside the
+    # whole-block Pallas kernel when it engages; added here otherwise).
+    include_residual: bool = False
 
     @nn.compact
     def __call__(self, c: jax.Array, train: bool = False) -> jax.Array:
@@ -117,10 +120,40 @@ class _StackedMHA(nn.Module):
 
         from ..ops.pallas.attention import (_padded_len, interpret_mode,
                                             use_fused_attention)
-        from ..ops.pallas.head_attention import (fused_relpos_attention,
+        from ..ops.pallas.head_attention import (attention_block_supported,
+                                                 fused_attention_block,
+                                                 fused_relpos_attention,
                                                  relpos_attention_supported)
         rate = self.dropout if train else 0.0
         Sp = _padded_len(S)
+        if self.include_residual and use_fused_attention() \
+                and attention_block_supported(Sp, dk, h, B, K):
+            # Whole-block path: q/k/v projections, rel-pos attention, Wo
+            # and the residual add all inside ONE Pallas kernel
+            # (head_attention.py fused_attention_block) — no (K, M, D)
+            # q/k/v/y intermediates in HBM in either direction.  Tile
+            # padding confined here exactly like the gen-3 path below.
+            if Sp != S:
+                cp = jnp.pad(c, ((0, 0), (0, Sp - S), (0, 0)))
+                krel = jnp.pad(krel, ((0, 0), (0, 0), (Sp - S, 0)))
+            else:
+                cp = c
+            seed = jnp.zeros((1,), jnp.float32)
+            if rate > 0.0:
+                rng = self.make_rng("dropout")
+                bits = jax.random.key_data(rng) \
+                    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else rng
+                seed = (jnp.asarray(bits).reshape(-1)[-1:]
+                        % jnp.uint32(2 ** 30)).astype(jnp.float32)
+            cdt = c.dtype
+            x = fused_attention_block(
+                cp.reshape(B * Sp, D), wq.astype(cdt), wk.astype(cdt),
+                wv.astype(cdt), wo.astype(cdt), krel.astype(cdt), seed,
+                B, h, rate, interpret_mode())
+            x = x.reshape(K, B, Sp, D)
+            if Sp != S:
+                x = x[:, :, :S]
+            return x.astype(cdt)
         if use_fused_attention() and relpos_attention_supported(Sp, dk, h, B):
             # Natural-layout path: q/k/v as (K, B*Sp, D) straight out of
             # the K-batched projections; skew bias, mask, softmax, dropout
@@ -203,7 +236,10 @@ class _StackedMHA(nn.Module):
             y = y.transpose(0, 1, 3, 2, 4).reshape(K, B * S, D)  # (K,M,D)
 
         out = jnp.einsum("kmd,kdo->kmo", y, wo.astype(y.dtype))
-        return out.reshape(K, B, S, D).astype(c.dtype)
+        out = out.reshape(K, B, S, D).astype(c.dtype)
+        if self.include_residual:
+            out = out + c[None]
+        return out
 
 
 class _StackedLN(nn.Module):
@@ -296,10 +332,11 @@ class _Layer0(nn.Module):
 
     @nn.compact
     def __call__(self, c: jax.Array, train: bool = False) -> jax.Array:
-        att = _StackedMHA(self.n_predicts, self.dmodel, self.size_seq,
-                          self.nheads, self.dropout,
-                          name="multihead")(c, train)
-        x = c[None] + att                                    # (K,B,S,D)
+        # include_residual: x = c + attention comes back in one piece (the
+        # whole-block Pallas kernel carries the residual add in-kernel).
+        x = _StackedMHA(self.n_predicts, self.dmodel, self.size_seq,
+                        self.nheads, self.dropout, include_residual=True,
+                        name="multihead")(c, train)           # (K,B,S,D)
         ln1 = _StackedLN(self.n_predicts, self.dmodel, name="ln_multihead")
         ffn = _StackedFFN(self.n_predicts, self.dmodel, self.dff,
                           self.dropout, name="ffnetwork")

@@ -197,12 +197,16 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
             preferred_element_type=f32)                     # (dk, S)
 
 
-def _pick_tb(n_b: int) -> int:
-    """Batch rows per grid program.  8 beats 4 on v5e (attention device
-    time 2.98 -> 2.43 ms/step at the bench config: fewer program launches,
-    better MXU occupancy); CPC_ATTN_TB overrides for tuning."""
+def _pick_tb(n_b: int, bwd: bool = False) -> int:
+    """Batch rows per grid program, chosen separately for fwd and bwd
+    (they are independent pallas_calls).  v5e sweep at the bench config
+    (fwd / bwd ms): tb=8 0.90/1.66, tb=16 0.81/1.65, tb=32 0.91/1.51 —
+    the fwd likes 16 (pipeline overlap across programs), the backward's
+    larger per-program working set amortizes best at 32.  CPC_ATTN_TB /
+    CPC_ATTN_TB_BWD override for tuning."""
     import os
-    pref = int(os.environ.get("CPC_ATTN_TB", "8"))
+    pref = int(os.environ.get("CPC_ATTN_TB_BWD" if bwd else "CPC_ATTN_TB",
+                              "32" if bwd else "16"))
     for tb in (pref, 8, 4, 2, 1):
         if tb <= n_b and n_b % tb == 0:
             return tb
@@ -210,11 +214,11 @@ def _pick_tb(n_b: int) -> int:
 
 
 def _compiler_params():
-    """Raise Mosaic's 16 MB default scoped-vmem budget so tb=16 tiles
+    """Raise Mosaic's 16 MB default scoped-vmem budget so tb=16/32 tiles
     compile (the v5e physical VMEM is far larger); CPC_ATTN_VMEM_LIMIT
     overrides for tuning."""
     import os
-    limit = int(float(os.environ.get("CPC_ATTN_VMEM_LIMIT", "40e6")))
+    limit = int(float(os.environ.get("CPC_ATTN_VMEM_LIMIT", "80e6")))
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
@@ -264,7 +268,7 @@ def _fr_bwd(n_batch, nheads, rate, interpret, res, dout):
     K, M, D = q.shape
     S = M // n_batch
     dk = D // nheads
-    tb = _pick_tb(n_batch)
+    tb = _pick_tb(n_batch, bwd=True)
     row, krel_spec, seed_spec = _specs(K, n_batch // tb, tb, S, D, dk,
                                        interpret)
     mem = {} if interpret else {"memory_space": pltpu.VMEM}
@@ -301,7 +305,7 @@ def relpos_attention_supported(S: int, dk: int, nheads: int,
     (the in-kernel skew) rejects lane-padded operands (verified on v5e:
     S=16 fails, S=128 compiles).  dk lane-friendly; working set in VMEM."""
     import os
-    tb = _pick_tb(n_batch)
+    tb = max(_pick_tb(n_batch), _pick_tb(n_batch, bwd=True))
     vmem = (4 * tb * S * nheads * dk * 4        # q/k/v/o one head f32-ish
             + 6 * tb * S * S * 4)               # p/ds/dqp/... f32 temps
     # the estimate must stay inside the scoped-vmem budget passed to the
@@ -326,6 +330,15 @@ def relpos_attention_supported(S: int, dk: int, nheads: int,
 # --------------------------------------------------------------------------
 
 
+def _dot_cast(a, b):
+    """a @ b with f32 MXU accumulation (Mosaic requires a 32-bit acc for
+    bf16 operands), rounded back to a's dtype — the semantics of the XLA
+    path's compute-dtype einsums."""
+    out = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(a.dtype)
+
+
 def _block_fwd_kernel(seed_ref, c_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                       krel_ref, x_ref, *,
                       rate: float, nheads: int, tb: int, interpret: bool):
@@ -338,11 +351,11 @@ def _block_fwd_kernel(seed_ref, c_ref, wq_ref, wk_ref, wv_ref, wo_ref,
     pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     krel = krel_ref[0]
     c = c_ref[:]
-    # projections in the input dtype (bf16 MXU with f32 accumulation),
-    # like the XLA path's einsums
-    q = jax.lax.dot_general(c, wq_ref[0], (((1,), (0,)), ((), ())))
-    k = jax.lax.dot_general(c, wk_ref[0], (((1,), (0,)), ((), ())))
-    v = jax.lax.dot_general(c, wv_ref[0], (((1,), (0,)), ((), ())))
+    # projections: bf16 operands, f32 MXU accumulation (Mosaic requires a
+    # 32-bit acc), rounded back to the input dtype like the XLA einsums
+    q = _dot_cast(c, wq_ref[0])
+    k = _dot_cast(c, wk_ref[0])
+    v = _dot_cast(c, wv_ref[0])
     outs = []
     for h in range(nheads):
         sl = slice(h * dk, (h + 1) * dk)
@@ -358,7 +371,7 @@ def _block_fwd_kernel(seed_ref, c_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                                 preferred_element_type=f32)
         outs.append(o.reshape(Mp, dk).astype(c.dtype))
     y = jnp.concatenate(outs, axis=1)
-    att = jax.lax.dot_general(y, wo_ref[0], (((1,), (0,)), ((), ())))
+    att = _dot_cast(y, wo_ref[0])
     x_ref[0] = (c + att).astype(x_ref.dtype)
 
 
@@ -385,13 +398,13 @@ def _block_bwd_kernel(seed_ref, c_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         dkrel_ref[0] = jnp.zeros_like(dkrel_ref[0])
 
     c = c_ref[:]
-    q = jax.lax.dot_general(c, wq_ref[0], (((1,), (0,)), ((), ())))
-    k = jax.lax.dot_general(c, wk_ref[0], (((1,), (0,)), ((), ())))
-    v = jax.lax.dot_general(c, wv_ref[0], (((1,), (0,)), ((), ())))
+    q = _dot_cast(c, wq_ref[0])
+    k = _dot_cast(c, wk_ref[0])
+    v = _dot_cast(c, wv_ref[0])
     dx = dx_ref[0]
     # Wo backward: dy = dx @ Wo^T (pre-transposed input for the fast
     # contract-last-with-first orientation)
-    dy = jax.lax.dot_general(dx, wot_ref[0], (((1,), (0,)), ((), ())))
+    dy = _dot_cast(dx, wot_ref[0])
     dq_parts, dk_parts, dv_parts, y_parts = [], [], [], []
     for h in range(nheads):
         sl = slice(h * dk, (h + 1) * dk)
@@ -510,7 +523,7 @@ def _fb_bwd(n_batch, nheads, rate, interpret, res, dout):
     K = wq.shape[0]
     S = M // n_batch
     dk = D // nheads
-    tb = _pick_tb(n_batch)
+    tb = _pick_tb(n_batch, bwd=True)
     c_spec, x_spec, w_spec, krel_spec, seed_spec, mem = _block_specs(
         K, tb, S, D, dk, interpret)
     dw_spec = pl.BlockSpec((1, D, D), lambda k, b: (k, 0, 0), **mem)
@@ -552,3 +565,32 @@ def _fb_fwd_rule(c, wq, wk, wv, wo, krel, seed, n_batch, nheads, rate,
 
 
 fused_attention_block.defvjp(_fb_fwd_rule, _fb_bwd)
+
+
+def attention_block_supported(S: int, dk: int, nheads: int, n_batch: int,
+                              K: int) -> bool:
+    """Gate for the whole-block kernel: the gen-3 constraints (the skew's
+    tpu.dynamic_rotate needs lane-filling S) plus the block's extra VMEM
+    residents — 4 (D, D) weights (+ their transposes and f32 dW
+    accumulators in the backward) and the projected q/k/v tiles.
+
+    OPT-IN (CPC_ATTN_BLOCK=1): on v5e the whole-block kernel measured a
+    ~0.2 ms/step REGRESSION vs fused_relpos_attention + XLA projections
+    at the bench config (17.44 vs 17.21 ms full-step device trace,
+    tb=4/8/16 all equal): the in-kernel (tile, D)x(D, D) projections run
+    at lower MXU efficiency than XLA's batched einsums and serialize
+    with the per-head softmax, outweighing the ~0.5 GB/step of q/k/v/y
+    HBM traffic it removes."""
+    import os
+    if os.environ.get("CPC_ATTN_BLOCK", "0") != "1":
+        return False
+    if not relpos_attention_supported(S, dk, nheads, n_batch):
+        return False
+    D = nheads * dk
+    tb = _pick_tb(n_batch)
+    vmem = (8 * D * D * 4            # wq/wk/wv/wo + transposes + f32 dW
+            + 10 * tb * S * D * 4    # c/q/k/v/dq/dk/dv/dy/dcp/x tiles
+            + 6 * tb * S * S * 4)    # p/ds/dqp/... f32 temps (per head)
+    limit = float(os.environ.get("CPC_ATTN_VMEM_LIMIT", "40e6"))
+    cap = float(os.environ.get("CPC_ATTN_VMEM_CAP", str(0.8 * limit)))
+    return vmem < cap

@@ -251,13 +251,15 @@ def test_fused_relpos_attention_dropout():
     assert np.isfinite(np.asarray(g)).all()
 
 
-def test_stacked_heads_lane_full_padded_path(monkeypatch):
-    """W=116 pads to the lane-full S=128, engaging fused_relpos_attention
-    through the module (the real bench/training geometry); must match the
-    XLA path, values and grads."""
+def _run_stacked_heads_ab(monkeypatch, extra_env=()):
+    """Init StackedTransformerHeads at the real W=116 -> Sp=128 geometry
+    with the Pallas path OFF, then compare values and grads with it ON
+    (interpret mode) under ``extra_env``."""
     from cpc_audio_tpu.criterion.stacked_heads import StackedTransformerHeads
 
     monkeypatch.setenv("CPC_PALLAS_ATTN_INTERPRET", "1")
+    for k, v in extra_env:
+        monkeypatch.setenv(k, v)
     rng = np.random.RandomState(9)
     K, B, W, D = 2, 2, 116, 64
     c = _rand(rng, (B, W, D), jnp.float32)
@@ -282,3 +284,83 @@ def test_stacked_heads_lane_full_padded_path(monkeypatch):
         np.testing.assert_allclose(np.asarray(flat_f[path]),
                                    np.asarray(leaf), rtol=2e-4, atol=1e-4,
                                    err_msg=str(path))
+
+
+def test_stacked_heads_lane_full_padded_path(monkeypatch):
+    """W=116 pads to the lane-full S=128, engaging fused_relpos_attention
+    (the default kernel) through the module — the real bench/training
+    geometry; must match the XLA path, values and grads."""
+    _run_stacked_heads_ab(monkeypatch)
+
+
+def test_stacked_heads_block_kernel_path(monkeypatch):
+    """CPC_ATTN_BLOCK=1 opts into the whole-block kernel
+    (fused_attention_block: projections + rel-pos attention + Wo +
+    residual in one Pallas call) through the module; same parity bar.
+    (Opt-in because it measured slightly slower than the default on
+    v5e — see attention_block_supported.)"""
+    _run_stacked_heads_ab(monkeypatch, (("CPC_ATTN_BLOCK", "1"),))
+
+
+def test_fused_attention_block_matches_composition():
+    """Kernel-level: fused_attention_block == einsum projections +
+    fused_relpos_attention + Wo einsum + residual (interpret mode),
+    values and grads wrt every operand."""
+    from cpc_audio_tpu.ops.pallas.head_attention import (
+        fused_attention_block, fused_relpos_attention)
+
+    rng = np.random.RandomState(3)
+    K, B, S, h, dk = 3, 4, 128, 4, 16
+    D = h * dk
+    c = _rand(rng, (B * S, D), jnp.float32)
+    wq, wk, wv, wo = (_rand(rng, (K, D, D), jnp.float32) * 0.25
+                      for _ in range(4))
+    krel = _rand(rng, (K, dk, S), jnp.float32) * 0.5
+    seed = jnp.zeros((1,), jnp.float32)
+
+    def composed(c, wq, wk, wv, wo, krel):
+        q = jnp.einsum("md,kdo->kmo", c, wq)
+        k = jnp.einsum("md,kdo->kmo", c, wk)
+        v = jnp.einsum("md,kdo->kmo", c, wv)
+        y = fused_relpos_attention(q, k, v, krel, seed, B, h, 0.0, True)
+        return c[None] + jnp.einsum("kmd,kdo->kmo", y, wo)
+
+    def block(c, wq, wk, wv, wo, krel):
+        return fused_attention_block(c, wq, wk, wv, wo, krel, seed,
+                                     B, h, 0.0, True)
+
+    args = (c, wq, wk, wv, wo, krel)
+    np.testing.assert_allclose(np.asarray(block(*args)),
+                               np.asarray(composed(*args)), atol=2e-5)
+    ct = _rand(rng, (K, B * S, D), jnp.float32)
+    g_ref = jax.grad(lambda *a: jnp.vdot(composed(*a), ct),
+                     argnums=tuple(range(6)))(*args)
+    g_blk = jax.grad(lambda *a: jnp.vdot(block(*a), ct),
+                     argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(("c", "wq", "wk", "wv", "wo", "krel"),
+                          g_ref, g_blk):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_fused_attention_block_dropout_grads_finite():
+    """Dropout > 0 through the block kernel: fwd/bwd masks regenerate
+    identically (deterministic in (seed, program, head)) and grads are
+    finite."""
+    from cpc_audio_tpu.ops.pallas.head_attention import fused_attention_block
+
+    rng = np.random.RandomState(5)
+    K, B, S, h, dk = 2, 2, 128, 2, 8
+    D = h * dk
+    c = _rand(rng, (B * S, D), jnp.float32)
+    ws = tuple(_rand(rng, (K, D, D), jnp.float32) * 0.25 for _ in range(4))
+    krel = _rand(rng, (K, dk, S), jnp.float32) * 0.5
+    seed = jnp.asarray([17.0], jnp.float32)
+
+    def loss(c, *ws_krel):
+        return jnp.sum(fused_attention_block(
+            c, *ws_krel, seed, B, h, 0.5, True) ** 2)
+
+    g = jax.grad(loss, argnums=tuple(range(6)))(c, *ws, krel)
+    for leaf in g:
+        assert np.isfinite(np.asarray(leaf)).all()
