@@ -42,15 +42,23 @@ class Conv1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    # set when calling with x=None (params-only mode for the fused
+    # conv+norm Pallas path, ops/pallas/conv_ln.py)
+    in_features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_features = x.shape[-1]
+    def __call__(self, x: Optional[jax.Array] = None) -> jax.Array:
+        in_features = self.in_features if x is None else x.shape[-1]
         # torch Conv1d init: U(-k, k) with k = 1/sqrt(Cin * W)
         k = 1.0 / math.sqrt(in_features * self.kernel_size)
         init = nn.initializers.uniform(scale=2 * k)
         kernel = self.param("kernel", lambda rng, shape: init(rng, shape) - k,
                             (self.kernel_size, in_features, self.features))
+        if x is None:
+            bias = self.param("bias",
+                              lambda rng, shape: init(rng, shape) - k,
+                              (self.features,)) if self.use_bias else None
+            return kernel, bias
         dtype = self.dtype or x.dtype
         if in_features == 1 and self.kernel_size % self.stride == 0:
             # Degenerate-input conv (the waveform layer) as dense framing:
@@ -119,10 +127,31 @@ class CPCEncoder(nn.Module):
             x = x[..., None]
         dtype = self.dtype or jnp.float32
         x = x.astype(dtype)
+        from ..ops.pallas.conv_ln import (conv_interpret_mode,
+                                          fused_conv_ln_relu,
+                                          fused_conv_supported,
+                                          use_fused_conv)
         for i, (k, s, p) in enumerate(zip(CONV_KERNELS, CONV_STRIDES, CONV_PADS)):
-            x = Conv1d(self.size_hidden, k, s, p, dtype=dtype, name=f"conv{i}")(x)
+            conv = Conv1d(self.size_hidden, k, s, p, dtype=dtype,
+                          in_features=x.shape[-1], name=f"conv{i}")
             norm = make_norm_layer(self.norm_mode, self.size_hidden,
                                    name=f"norm{i}")
+            if (self.norm_mode == "layerNorm" and use_fused_conv()
+                    and fused_conv_supported(x.shape[1], x.shape[-1], k, s,
+                                             p)):
+                # conv + bias + ChannelNorm + ReLU as ONE Pallas kernel
+                # (ops/pallas/conv_ln.py): the layer's activations make a
+                # single HBM round trip per direction and XLA's
+                # conv-vs-fusion layout copies disappear.  Identical
+                # param tree (params declared by the same submodules).
+                kernel, bias = conv(None)
+                nw, nb = norm(None)
+                x = fused_conv_ln_relu(
+                    x, kernel.reshape(k * x.shape[-1],
+                                      self.size_hidden).astype(dtype),
+                    bias, nw, nb, s, k, p, 1e-5, conv_interpret_mode())
+                continue
+            x = conv(x)
             if isinstance(norm, nn.BatchNorm):
                 x = norm(x, use_running_average=not train)
             else:

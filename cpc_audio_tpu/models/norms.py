@@ -25,7 +25,17 @@ class ChannelNorm(nn.Module):
     affine: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x=None) -> jax.Array:
+        # Called with ``x=None`` it only declares and returns the affine
+        # params (the fused conv+norm Pallas path applies the math inside
+        # the kernel, ops/pallas/conv_ln.py).
+        if x is None:
+            assert self.affine
+            w = self.param("weight", nn.initializers.ones,
+                           (self.num_features,))
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.num_features,))
+            return w, b
         # x: (B, T, C); normalize over C.  Statistics in >=f32 for
         # stability (promote_types keeps f64 inputs f64 for the x64 parity
         # tests); output and affine params in the input dtype (a bf16

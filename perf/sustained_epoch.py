@@ -1,0 +1,112 @@
+"""Sustained end-to-end training throughput (VERDICT round-2 item 3).
+
+bench.py times the bare jitted step on one resident batch; this measures
+what ``python -m cpc_audio_tpu.train`` actually sustains: the full epoch
+loop with the real data pipeline (native decode thread pool, pack
+streaming, sampler plans, host->device feed) and the logging-step-bounded
+metric readbacks.  Done-criterion from the verdict: sustained >= 0.9 x
+bench.py's step rate.
+
+The bundled fixture db is 91 windows (~3 batches) — epoch overheads
+would swamp the measurement — so this builds a synthetic 16 kHz wav db
+(~4700 windows, cached under /tmp) big enough that per-epoch setup
+amortizes, then wall-clocks ``train_main`` at two epoch counts and takes
+the slope, cancelling process/compile/startup costs.  Wall-clock is
+honest here because each epoch ends in a host readback of the epoch
+metrics (the axon-tunnel early-return hazard only affects readback-free
+timing; CLAUDE.md).
+
+Usage: python perf/sustained_epoch.py [--n1 2] [--n2 6] [--batchSizeGPU 32]
+Prints one JSON line: sustained windows/s/chip + per-epoch seconds.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import wave
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DB = "/tmp/cpc_synth_db"
+N_SPEAKERS = 12
+FILES_PER_SPEAKER = 12
+SECONDS_PER_FILE = 30
+RATE = 16000
+
+
+def build_db():
+    marker = os.path.join(
+        DB, f"done_{N_SPEAKERS}x{FILES_PER_SPEAKER}x{SECONDS_PER_FILE}")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(DB, ignore_errors=True)
+    rng = np.random.RandomState(0)
+    n = SECONDS_PER_FILE * RATE
+    for s in range(N_SPEAKERS):
+        d = os.path.join(DB, f"spk{s:02d}", "book")
+        os.makedirs(d)
+        for f in range(FILES_PER_SPEAKER):
+            # low-pass-ish colored noise; content is irrelevant to
+            # throughput, but keep amplitudes audio-like
+            x = rng.randn(n).astype(np.float32)
+            x = np.convolve(x, np.ones(8) / 8, mode="same")
+            pcm = np.clip(x * 8000, -32767, 32767).astype("<i2")
+            with wave.open(os.path.join(d, f"spk{s:02d}-book-{f:04d}.wav"),
+                           "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(RATE)
+                w.writeframes(pcm.tobytes())
+    open(marker, "w").close()
+
+
+def run_epochs(n_epoch, batch, out):
+    from cpc_audio_tpu.train import main as train_main
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    rc = train_main([
+        "--pathDB", DB, "--file_extension", ".wav",
+        "--pathCheckpoint", out,
+        "--nGPU", "1", "--batchSizeGPU", str(batch),
+        "--compute_dtype", "bfloat16",
+        "--nEpoch", str(n_epoch), "--save_step", "1000",
+        "--random_seed", "0", "--n_process_loader", "4"])
+    dt = time.perf_counter() - t0
+    assert rc == 0
+    return dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n1", type=int, default=2)
+    p.add_argument("--n2", type=int, default=6)
+    p.add_argument("--batchSizeGPU", type=int, default=32)
+    args = p.parse_args()
+
+    build_db()
+    total = N_SPEAKERS * FILES_PER_SPEAKER * SECONDS_PER_FILE * RATE
+    windows = total // 20480
+    # two measurements; slope cancels startup + compile (the second run
+    # reuses the persistent compilation cache)
+    t1 = run_epochs(args.n1, args.batchSizeGPU, "/tmp/cpc_sustained_a")
+    t2 = run_epochs(args.n2, args.batchSizeGPU, "/tmp/cpc_sustained_b")
+    per_epoch = (t2 - t1) / (args.n2 - args.n1)
+    wps = windows / per_epoch
+    print(json.dumps({
+        "metric": "sustained_windows_per_sec_per_chip",
+        "value": round(wps, 2),
+        "windows_per_epoch": windows,
+        "sec_per_epoch": round(per_epoch, 3),
+        "t_n1": round(t1, 2), "t_n2": round(t2, 2),
+        "n1": args.n1, "n2": args.n2,
+        "batch": args.batchSizeGPU,
+    }))
+
+
+if __name__ == "__main__":
+    main()
