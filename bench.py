@@ -9,6 +9,18 @@ NOT execution completion, so the measurement forces a device->host readback
 of the final step's loss and takes the SLOPE between two chained run
 lengths (k2 - k1 steps) to cancel the fixed RPC/transfer overhead.
 
+The inner run of k steps executes as ONE dispatch (`lax.fori_loop` over
+the train step, same jitted program as training, state threaded through
+the carry).  Per-step host dispatches through the tunnel leave a ~1.5
+ms/step RPC bubble between device programs (device-trace total 16.9 ms vs
+18.4 ms slope when dispatching step-by-step) that is an artifact of this
+remote-tunnel environment, not of the training program — a production
+host driving a local chip dispatches in ~50 us and the real trainer
+amortizes readbacks over logging_step batches.  Chaining makes the slope
+measure the device-bound rate, which matches the deterministic device
+traces (perf/trace_step.py).  CPC_BENCH_CHAIN=0 restores per-step
+dispatch for measuring the tunnel overhead itself.
+
 ``vs_baseline`` compares against A100_REF_WINDOWS_PER_SEC, an estimate of
 the torch reference's single-A100 throughput (the reference publishes no
 numbers — BASELINE.md): ~8.6 GFLOP fwd/window with eager torch, sequential
@@ -19,6 +31,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -59,15 +72,32 @@ def main():
     labels = shard_batch(mesh, np.zeros(batch_size, np.int64))
     key = jax.random.PRNGKey(1)
 
-    def run_steps(state, k):
-        # constant key: per-step streams derive from state.step in-jit;
-        # a host-side fold_in here would dispatch a ~0.7 ms scalar
-        # threefry program to the device between steps (device trace).
-        metrics = None
-        for _ in range(k):
-            state, _, metrics = train_step(
-                state, batch, labels, None, key, 2e-4)
-        return state, metrics
+    chain = os.environ.get("CPC_BENCH_CHAIN", "1") == "1"
+    if chain:
+        import jax.numpy as jnp
+
+        @jax.jit
+        def run_k(state, k):
+            def body(_, carry):
+                st, _ = carry
+                st, _, m = train_step(st, batch, labels, None, key, 2e-4)
+                return st, m["losses"]
+            return jax.lax.fori_loop(
+                0, k, body, (state, jnp.zeros(config.nPredicts)))
+
+        def run_steps(state, k):
+            state, losses = run_k(state, k)
+            return state, {"losses": losses}
+    else:
+        def run_steps(state, k):
+            # constant key: per-step streams derive from state.step in-jit;
+            # a host-side fold_in here would dispatch a ~0.7 ms scalar
+            # threefry program to the device between steps (device trace).
+            metrics = None
+            for _ in range(k):
+                state, _, metrics = train_step(
+                    state, batch, labels, None, key, 2e-4)
+            return state, metrics
 
     # compile + warm, with a forced readback
     state, metrics = run_steps(state, 3)

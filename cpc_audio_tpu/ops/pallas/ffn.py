@@ -197,13 +197,17 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
-def _pick_tm(M: int) -> int:
+def _pick_tm(M: int, bwd: bool = False) -> int:
     """Rows per grid program: the largest divisor of M that is a multiple
     of 8 and <= 512.  Bigger tiles amortize per-program overhead (v5e
     sweep at the bench config M=3712: tm=128 2.95, 232 2.78, 464 2.64 ms
     fwd+bwd) and the raised scoped-vmem budget (_compiler_params) fits
-    them; CPC_FFN_TM overrides for tuning."""
-    pref = os.environ.get("CPC_FFN_TM")
+    them; CPC_FFN_TM overrides for tuning, CPC_FFN_TM_BWD additionally
+    for the backward (only honored with dropout OFF — the in-kernel
+    dropout stream is keyed by program id, so fwd/bwd grids must match
+    when a mask exists)."""
+    pref = os.environ.get("CPC_FFN_TM_BWD" if bwd else "CPC_FFN_TM") \
+        or os.environ.get("CPC_FFN_TM")
     if pref is not None:
         tm = int(pref)
         if tm <= M and M % tm == 0:
@@ -221,7 +225,7 @@ def fused_tail_supported(M: int, D: int, F: int) -> bool:
     inside VMEM."""
     if D % 128 != 0 or F % 128 != 0 or M % 8 != 0:
         return False
-    tm = _pick_tm(M)
+    tm = max(_pick_tm(M), _pick_tm(M, bwd=True))
     vmem = (tm * F * 10              # hp/h f32+bf16, dh/dhp, drop mask
             + 4 * D * F * 2          # W1/W2 + transposes (bf16)
             + 2 * D * F * 4          # dW1/dW2 f32 accumulators
@@ -304,7 +308,9 @@ def _tail_bwd(rate, eps, interpret, res, dout):
     x, ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, seed = res
     K, M, D = x.shape
     F = w1.shape[-1]
-    tm = _pick_tm(M)
+    # the dropout mask regenerates from (seed, program id): the bwd grid
+    # may only differ from the fwd grid when there is no mask
+    tm = _pick_tm(M, bwd=(rate == 0.0))
     row, vecD, vecF, w1s, w2s, seed_s, mem = _specs(K, tm, D, F, interpret)
     # Parameter-grad accumulators: the dW blocks' index is constant in
     # t -> VMEM resident across the row tiles, flushed once per head;
