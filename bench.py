@@ -48,11 +48,20 @@ def main():
                                         make_optimizer, make_train_step,
                                         shard_batch)
 
+    # CPC_BENCH_SMOKE=1: tiny config, CPU backend — a correctness smoke of
+    # THIS script (incl. the chained fori_loop path) for the test suite;
+    # the printed number is then meaningless.
+    smoke = os.environ.get("CPC_BENCH_SMOKE", "0") == "1"
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+
     n_devices = len(jax.devices())
-    per_chip_batch = 32
+    per_chip_batch = 4 if smoke else 32
     batch_size = per_chip_batch * n_devices
 
-    config = CPCConfig(compute_dtype="bfloat16")
+    config = CPCConfig(compute_dtype="bfloat16") if not smoke else \
+        CPCConfig(compute_dtype="bfloat16", hiddenEncoder=64, hiddenGar=64,
+                  nPredicts=4, negativeSamplingExt=16, sizeWindow=3200)
     model = build_model(config)
     criterion = CPCUnsupervisedCriterion(
         n_predicts=config.nPredicts, dim_output_ar=config.hiddenGar,
@@ -113,7 +122,7 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k1, k2 = 4, 14
+    k1, k2 = (2, 4) if smoke else (4, 14)
     t1 = timed(k1)
     t2 = timed(k2)
     step_time = max((t2 - t1) / (k2 - k1), 1e-9)
