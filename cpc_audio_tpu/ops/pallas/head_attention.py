@@ -24,8 +24,9 @@ Semantics covered: ScaledDotProductAttention + MultiHeadAttention with
 relpos (transformers.py:10-83): softmax((q k^T + skew)/sqrt(dk)) with a
 causal mask, optional attention dropout, then @ v.  Dropout uses the TPU
 per-core PRNG exactly like ops/pallas/attention.py (statistically
-equivalent to flax's stream; deterministic in (seed, program, head), so
-the backward regenerates the identical mask).
+equivalent to flax's stream; deterministic in (seed, k, absolute 8-row
+batch granule, head) — _dropout_mask_rows — so the backward regenerates
+the identical mask even when its batch tile differs from the forward's).
 """
 
 from __future__ import annotations
@@ -60,6 +61,36 @@ def _skew(qp, interpret: bool):
         idx = (j - i - 1) % S
         return jnp.take_along_axis(qp, idx, axis=2)
     return pltpu.roll(qp, 1, 2, stride=1, stride_axis=1)
+
+
+def _dropout_mask_rows(tb, S, rate, seed, h, nheads, interpret):
+    """Dropout mask for a (tb, S, S) probability tile whose stream depends
+    only on the ABSOLUTE (k, batch row, head) — NOT on the tile size — so
+    the forward and backward pallas_calls may use different batch tiles.
+
+    This fixed a silent training-breaker: the masks used to be keyed by
+    (program id, head) with the mask drawn in one (tb, S, S) block, so
+    when the fwd/bwd tiles split (fwd 16 / bwd 32 after the round-3
+    sweep) the backward regenerated a DIFFERENT mask than the forward
+    applied — gradients through every dropout site were multiplied by the
+    wrong mask, and default-config training silently plateaued at chance
+    (fixture A/B: kernels-off learns 4.85->4.48, kernels-on stuck at
+    4.847; the first 5 epochs matched exactly, so only a long horizon or
+    a mask-consistency test catches it).
+
+    Rows are keyed in granules of 8 (every real tile is a multiple of 8;
+    _pick_tb pins bwd == fwd when dropout is active and either tile is
+    not), and each granule's stream is seeded by its absolute index."""
+    k_id = pl.program_id(0)
+    row0 = pl.program_id(1) * tb
+    n_rows = pl.num_programs(1) * tb
+    gr = 8 if tb % 8 == 0 else tb
+    parts = []
+    for g0 in range(0, tb, gr):
+        gi = (row0 + g0) // gr                 # absolute granule index
+        pid = (k_id * (n_rows // gr) + gi) * nheads + h
+        parts.append(_dropout_mask((gr, S, S), rate, seed, pid, interpret))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _attend_fwd(q, k, krel, mask, inv_sqrt, interpret):
@@ -97,8 +128,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, o_ref, *,
         vh = v_ref[0, :, sl].reshape(tb, S, dk)
         p = _attend_fwd(qh, kh, krel, mask, inv_sqrt, interpret)
         if rate > 0.0:
-            p = p * _dropout_mask(p.shape, rate, seed_ref[0, 0],
-                                  pid * nheads + h, interpret)
+            p = p * _dropout_mask_rows(tb, S, rate, seed_ref[0, 0], h,
+                                       nheads, interpret)
         o = jax.lax.dot_general(p.astype(vh.dtype), vh,
                                 (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=f32)
@@ -157,8 +188,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
         do = do_ref[0, :, sl].reshape(tb, S, dk)
         p = _attend_fwd(qh, kh, krel, mask, inv_sqrt, interpret)
         if rate > 0.0:
-            drop = _dropout_mask(p.shape, rate, seed_ref[0, 0],
-                                 pid * nheads + h, interpret)
+            drop = _dropout_mask_rows(tb, S, rate, seed_ref[0, 0], h,
+                                      nheads, interpret)
             pd = p * drop
         else:
             pd = p
@@ -197,20 +228,32 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, krel_ref, do_ref,
             preferred_element_type=f32)                     # (dk, S)
 
 
-def _pick_tb(n_b: int, bwd: bool = False) -> int:
+def _pick_tb(n_b: int, bwd: bool = False, rate: float = 0.0) -> int:
     """Batch rows per grid program, chosen separately for fwd and bwd
     (they are independent pallas_calls).  v5e sweep at the bench config
     (fwd / bwd ms): tb=8 0.90/1.66, tb=16 0.81/1.65, tb=32 0.91/1.51 —
     the fwd likes 16 (pipeline overlap across programs), the backward's
     larger per-program working set amortizes best at 32.  CPC_ATTN_TB /
-    CPC_ATTN_TB_BWD override for tuning."""
+    CPC_ATTN_TB_BWD override for tuning.
+
+    With dropout active the fwd/bwd masks must regenerate identically;
+    the streams are keyed by absolute 8-row granules
+    (_dropout_mask_rows), so differing tiles are fine as long as BOTH
+    are multiples of 8 — otherwise the backward is pinned to the
+    forward's tile."""
     import os
     pref = int(os.environ.get("CPC_ATTN_TB_BWD" if bwd else "CPC_ATTN_TB",
                               "32" if bwd else "16"))
-    for tb in (pref, 8, 4, 2, 1):
-        if tb <= n_b and n_b % tb == 0:
-            return tb
-    return 1
+    tb = 1
+    for cand in (pref, 8, 4, 2, 1):
+        if cand <= n_b and n_b % cand == 0:
+            tb = cand
+            break
+    if bwd and rate > 0.0:
+        tb_f = _pick_tb(n_b, bwd=False, rate=rate)
+        if (tb % 8 != 0 or tb_f % 8 != 0) and tb != tb_f:
+            return tb_f
+    return tb
 
 
 def _compiler_params():
@@ -246,7 +289,7 @@ def _fr_fwd(q, k, v, krel, seed, n_batch, nheads, rate, interpret):
     K, M, D = q.shape
     S = M // n_batch
     dk = D // nheads
-    tb = _pick_tb(n_batch)
+    tb = _pick_tb(n_batch, rate=rate)
     row, krel_spec, seed_spec = _specs(K, n_batch // tb, tb, S, D, dk,
                                        interpret)
     seed_row = jnp.broadcast_to(seed.reshape(-1)[:1, None], (1, 128))
@@ -268,7 +311,7 @@ def _fr_bwd(n_batch, nheads, rate, interpret, res, dout):
     K, M, D = q.shape
     S = M // n_batch
     dk = D // nheads
-    tb = _pick_tb(n_batch, bwd=True)
+    tb = _pick_tb(n_batch, bwd=True, rate=rate)
     row, krel_spec, seed_spec = _specs(K, n_batch // tb, tb, S, D, dk,
                                        interpret)
     mem = {} if interpret else {"memory_space": pltpu.VMEM}
@@ -364,8 +407,8 @@ def _block_fwd_kernel(seed_ref, c_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         vh = v[:, sl].reshape(tb, S, dk)
         p = _attend_fwd(qh, kh, krel, mask, inv_sqrt, interpret)
         if rate > 0.0:
-            p = p * _dropout_mask(p.shape, rate, seed_ref[0, 0],
-                                  pid * nheads + h, interpret)
+            p = p * _dropout_mask_rows(tb, S, rate, seed_ref[0, 0], h,
+                                       nheads, interpret)
         o = jax.lax.dot_general(p.astype(vh.dtype), vh,
                                 (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=f32)
@@ -414,8 +457,8 @@ def _block_bwd_kernel(seed_ref, c_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         do = dy[:, sl].reshape(tb, S, dk)
         p = _attend_fwd(qh, kh, krel, mask, inv_sqrt, interpret)
         if rate > 0.0:
-            drop = _dropout_mask(p.shape, rate, seed_ref[0, 0],
-                                 pid * nheads + h, interpret)
+            drop = _dropout_mask_rows(tb, S, rate, seed_ref[0, 0], h,
+                                      nheads, interpret)
             pd = p * drop
         else:
             pd = p
@@ -499,7 +542,7 @@ def _fb_fwd(c, wq, wk, wv, wo, krel, seed, n_batch, nheads, rate,
     K = wq.shape[0]
     S = M // n_batch
     dk = D // nheads
-    tb = _pick_tb(n_batch)
+    tb = _pick_tb(n_batch, rate=rate)
     c_spec, x_spec, w_spec, krel_spec, seed_spec, _ = _block_specs(
         K, tb, S, D, dk, interpret)
     seed_row = jnp.broadcast_to(seed.reshape(-1)[:1, None], (1, 128))
@@ -523,7 +566,7 @@ def _fb_bwd(n_batch, nheads, rate, interpret, res, dout):
     K = wq.shape[0]
     S = M // n_batch
     dk = D // nheads
-    tb = _pick_tb(n_batch, bwd=True)
+    tb = _pick_tb(n_batch, bwd=True, rate=rate)
     c_spec, x_spec, w_spec, krel_spec, seed_spec, mem = _block_specs(
         K, tb, S, D, dk, interpret)
     dw_spec = pl.BlockSpec((1, D, D), lambda k, b: (k, 0, 0), **mem)

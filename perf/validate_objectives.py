@@ -51,6 +51,10 @@ def main():
     p.add_argument("--nEpoch", type=int, default=40)
     p.add_argument("--nEpochProbe", type=int, default=10)
     p.add_argument("--batchSizeGPU", type=int, default=8)
+    p.add_argument("--random_seed", type=int, default=1,
+                   help="training seed; the default avoids a verified "
+                        "seed-0 optimization basin at fixture scale "
+                        "(docs/PERFORMANCE.md round 3)")
     p.add_argument("--margin", type=float, default=0.02,
                    help="max tolerated probe-accuracy deficit vs exact")
     args = p.parse_args()
@@ -77,7 +81,7 @@ def main():
             "--save_step", str(max(args.nEpoch - 1, 1)),
             "--batchSizeGPU", str(args.batchSizeGPU),
             "--compute_dtype", "bfloat16",
-            "--random_seed", "0",
+            "--random_seed", str(args.random_seed),
             "--n_process_loader", "2", "--ignore_cache"] + extra)
         if rc != 0:
             print(json.dumps({"variant": name, "ok": False,
@@ -89,6 +93,10 @@ def main():
         probe_accs = []
         for seed in (0, 1):
             out = os.path.join(args.workdir, f"probe_{name}_s{seed}")
+            # --size_window 3200: the probe's val split is ONE fixture
+            # file (~81k samples) — at the training window (20480) it
+            # yields fewer windows than a batch and locAcc_val degenerates
+            # to zero batches; 3200-sample probe windows give ~25.
             rc = probe_main([os.path.join(REF_DATA, "test_db"),
                              train_list, val_list, ckpt,
                              "--pathPhone",
@@ -96,6 +104,7 @@ def main():
                              "--pathCheckpoint", out,
                              "--n_epoch", str(args.nEpochProbe),
                              "--nGPU", "1", "--batchSizeGPU", "4",
+                             "--size_window", "3200",
                              "--random_seed", str(seed),
                              "--ignore_cache"])
             if rc != 0:

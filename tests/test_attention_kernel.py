@@ -364,3 +364,44 @@ def test_fused_attention_block_dropout_grads_finite():
     g = jax.grad(loss, argnums=tuple(range(6)))(c, *ws, krel)
     for leaf in g:
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_dropout_mask_survives_fwd_bwd_tile_split(monkeypatch):
+    """REGRESSION (round 3): the in-kernel dropout stream used to be keyed
+    by program id, so splitting the fwd/bwd batch tiles (fwd 16 / bwd 32)
+    made the backward regenerate a DIFFERENT mask than the forward
+    applied — silently corrupting every gradient at train time and
+    flat-lining default-config training at chance (fixture A/B in
+    docs/PERFORMANCE.md round 3).  The stream is now keyed by the
+    absolute (k, 8-row batch granule, head), so gradients must be
+    IDENTICAL whichever (8-multiple) tiles the two passes pick."""
+    import numpy as np
+    from cpc_audio_tpu.ops.pallas.head_attention import fused_relpos_attention
+
+    K, n_batch, S, nheads, dk = 2, 16, 128, 2, 8
+    D = nheads * dk
+    rng = np.random.RandomState(3)
+    q, k, v = (jnp.asarray(rng.randn(K, n_batch * S, D), jnp.float32)
+               for _ in range(3))
+    krel = jnp.asarray(rng.randn(K, dk, S) * 0.1, jnp.float32)
+    seed = jnp.asarray([7.0], jnp.float32)
+    ct = jnp.asarray(rng.randn(K, n_batch * S, D), jnp.float32)
+
+    def grads(tb_fwd, tb_bwd):
+        monkeypatch.setenv("CPC_ATTN_TB", str(tb_fwd))
+        monkeypatch.setenv("CPC_ATTN_TB_BWD", str(tb_bwd))
+        out, vjp = jax.vjp(
+            lambda *a: fused_relpos_attention(*a, seed, n_batch, nheads,
+                                              0.25, True), q, k, v, krel)
+        return out, vjp(ct)
+
+    y_eq, g_eq = grads(8, 8)
+    y_mix, g_mix = grads(8, 16)
+    # forward must not depend on the tile size at all
+    np.testing.assert_allclose(np.asarray(y_mix), np.asarray(y_eq),
+                               rtol=1e-6, atol=1e-6)
+    # and the backward must regenerate the forward's masks regardless of
+    # its own tiling
+    for name, a, b in zip("qkv+krel", g_eq, g_mix):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
