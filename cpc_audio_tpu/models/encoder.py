@@ -13,6 +13,7 @@ LFBEnconder (model.py:125-152).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -27,6 +28,23 @@ CONV_KERNELS = (10, 8, 4, 4, 4)
 CONV_STRIDES = (5, 4, 2, 2, 2)
 CONV_PADS = (3, 2, 1, 1, 1)
 DOWNSAMPLING = 160  # model.py:94
+
+
+def use_conv_dots() -> bool:
+    """kernel==2*stride convs as two row-major matmuls (see Conv1d).
+
+    OPT-IN (CPC_CONV_DOTS=1) — a measured NEGATIVE result on v5e
+    (18.19 vs 16.98 ms full-step device trace, docs/PERFORMANCE.md
+    round 3).  The motivation was real: XLA's conv emitter forces
+    {2,0,1} activation layouts that cost ~0.4 ms/step of copies against
+    the row-major norm/relu/AR neighbors.  But under TPU *tiled*
+    layouts the (B,T,C)->(B,T/s,sC) block view is NOT a bitcast (the
+    (8,128) tile contents differ), so the dot path pays ~0.8 ms of
+    reshape/pad materializations — and the {1,2,0} T-minor layout XLA
+    had picked makes ChannelNorm's backward reduces ~0.25 ms FASTER
+    than row-major (C rides sublanes, T rides lanes).  XLA's global
+    layout assignment beat both hand-forced alternatives."""
+    return os.environ.get("CPC_CONV_DOTS", "0") == "1"
 
 
 class Conv1d(nn.Module):
@@ -89,6 +107,35 @@ class Conv1d(nn.Module):
                 frames,
                 kernel.astype(dtype).reshape(kw * in_features, self.features),
                 (((2,), (0,)), ((), ())))
+        elif (self.kernel_size == 2 * self.stride
+              and self.padding <= self.stride and use_conv_dots()):
+            # Half-overlap conv (kernel == 2*stride — every CPC layer) as
+            # TWO matmuls over a block view:
+            # (B, T, C) -> (B, T/s, s*C), then
+            #   y[m] = blocked[m] @ W[:s] + blocked[m+1] @ W[s:].
+            # Opt-in negative result — see use_conv_dots() for why the
+            # tiled-layout reshape costs outweigh the conv-layout copies
+            # this removes.
+            B, T, Cin = x.shape
+            s, kw, p = self.stride, self.kernel_size, self.padding
+            out_t = (T + 2 * p - kw) // s + 1
+            blocks = out_t + 1
+            # exactly blocks*s input rows enter the block view: slice off
+            # the tail no output window reads, pad when the windows poke
+            # past the end (the last block is always at least half pad).
+            need = blocks * s - p
+            xs = x[:, :need] if need <= T else x
+            xp = jnp.pad(xs.astype(dtype),
+                         ((0, 0), (p, max(0, need - T)), (0, 0)))
+            blocked = xp.reshape(B, blocks, s * Cin)
+            # kernel (kw, Cin, Cout) row-major: rows j*Cin+c of the (s*Cin,
+            # Cout) halves match blocked's (j, c) minor order exactly.
+            w2 = kernel.astype(dtype).reshape(2, s * Cin, self.features)
+            lo = jax.lax.dot_general(blocked, w2[0],
+                                     (((2,), (0,)), ((), ())))
+            hi = jax.lax.dot_general(blocked, w2[1],
+                                     (((2,), (0,)), ((), ())))
+            y = lo[:, :out_t] + hi[:, 1:out_t + 1]
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel.astype(dtype),

@@ -24,6 +24,40 @@ def test_encoder_output_shape(rng):
     assert y.shape == (2, 128, 64)  # 160x downsampling (model.py:94)
 
 
+def test_conv_dots_matches_lax_conv(rng, monkeypatch):
+    """The opt-in two-matmul block formulation of kernel==2*stride convs
+    (CPC_CONV_DOTS=1, a documented perf negative-result path) must match
+    lax.conv_general_dilated — values and gradients — including on
+    lengths that don't divide the stride (the common_voices classifier
+    runs k=8/s=4/p=0 on arbitrary T)."""
+    from cpc_audio_tpu.models.encoder import Conv1d
+
+    nprng = np.random.RandomState(0)
+    for (cin, k, s, p, t) in [(16, 8, 4, 2, 64), (16, 4, 2, 1, 30),
+                              (5, 8, 4, 0, 37)]:
+        x = jnp.asarray(nprng.randn(2, t, cin), jnp.float32)
+        m = Conv1d(8, k, s, p)
+        v = m.init(rng, x)
+        cot_shape = m.apply(v, x).shape
+        cot = jnp.asarray(nprng.randn(*cot_shape), jnp.float32)
+
+        def loss(v, x):
+            return jnp.sum(m.apply(v, x) * cot)
+
+        monkeypatch.setenv("CPC_CONV_DOTS", "0")
+        y0, (gv0, gx0) = m.apply(v, x), jax.grad(loss, (0, 1))(v, x)
+        monkeypatch.setenv("CPC_CONV_DOTS", "1")
+        y1, (gv1, gx1) = m.apply(v, x), jax.grad(loss, (0, 1))(v, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                                   atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(gv1),
+                        jax.tree_util.tree_leaves(gv0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
 @pytest.mark.parametrize("norm", ["layerNorm", "instanceNorm", "ID"])
 def test_encoder_norm_modes(rng, norm):
     enc = CPCEncoder(size_hidden=32, norm_mode=norm)
