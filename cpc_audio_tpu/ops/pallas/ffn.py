@@ -68,9 +68,27 @@ def _ln_bwd(dout32, yhat, inv, w):
     return (dy - m1 - yhat * m2) * inv
 
 
+def _ffn_dropout_rows(tm, F, rate, seed, k, t, M, gr, interpret):
+    """Dropout mask for a (tm, F) hidden tile keyed by the ABSOLUTE row
+    granule — not the grid program — so the forward and backward
+    pallas_calls may use different row tiles (the same convention as
+    head_attention._dropout_mask_rows, and the same class of bug it
+    fixed: program-id-keyed masks silently diverge between fwd and bwd
+    once their grids differ).  ``gr`` (the granule) must divide every
+    tile in use — _mask_granule computes the gcd of the fwd/bwd picks."""
+    row0 = t * tm
+    n_gr = M // gr
+    parts = []
+    for g0 in range(0, tm, gr):
+        pid = k * n_gr + (row0 + g0) // gr
+        parts.append(_dropout_mask((gr, F), rate, seed, pid, interpret))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def _tail_fwd_kernel(seed_ref, x_ref, ln1w_ref, ln1b_ref, w1_ref, b1_ref,
                      w2_ref, b2_ref, ln2w_ref, ln2b_ref, out_ref, *,
-                     rate: float, eps: float, interpret: bool):
+                     rate: float, eps: float, M: int, gr: int,
+                     interpret: bool):
     f32 = jnp.float32
     x = x_ref[0]
     cdt = x.dtype
@@ -86,8 +104,9 @@ def _tail_fwd_kernel(seed_ref, x_ref, ln1w_ref, ln1b_ref, w1_ref, b1_ref,
     hp = hp + b1_ref[k].astype(f32)
     h = jnp.maximum(hp, 0.0)
     if rate > 0.0:
-        pid = k * pl.num_programs(1) + pl.program_id(1)
-        h = h * _dropout_mask(h.shape, rate, seed_ref[0, 0], pid, interpret)
+        h = h * _ffn_dropout_rows(h.shape[0], h.shape[1], rate,
+                                  seed_ref[0, 0], k, pl.program_id(1),
+                                  M, gr, interpret)
     h = h.astype(cdt)
     f = jax.lax.dot_general(h, w2_ref[0], (((1,), (0,)), ((), ())),
                             preferred_element_type=f32)
@@ -104,7 +123,8 @@ def _tail_bwd_kernel(seed_ref, x_ref, ln1w_ref, ln1b_ref, w1_ref, b1_ref,
                      do_ref,
                      dx_ref, dln1w_ref, dln1b_ref, dw1_ref, db1_ref,
                      dw2_ref, db2_ref, dln2w_ref, dln2b_ref, *,
-                     rate: float, eps: float, interpret: bool):
+                     rate: float, eps: float, M: int, gr: int,
+                     interpret: bool):
     f32 = jnp.float32
     x = x_ref[0]
     cdt = x.dtype
@@ -121,8 +141,8 @@ def _tail_bwd_kernel(seed_ref, x_ref, ln1w_ref, ln1b_ref, w1_ref, b1_ref,
     hp = hp + b1_ref[k].astype(f32)
     h32 = jnp.maximum(hp, 0.0)
     if rate > 0.0:
-        pid = k * pl.num_programs(1) + pl.program_id(1)
-        drop = _dropout_mask(h32.shape, rate, seed_ref[0, 0], pid, interpret)
+        drop = _ffn_dropout_rows(h32.shape[0], h32.shape[1], rate,
+                                 seed_ref[0, 0], k, t, M, gr, interpret)
         h32 = h32 * drop
     # kept-AND-positive mask, sign-recovered from the f32 value (Mosaic
     # has no bf16 vector compare on v5e)
@@ -191,21 +211,23 @@ def _tail_bwd_kernel(seed_ref, x_ref, ln1w_ref, ln1b_ref, w1_ref, b1_ref,
 def _compiler_params():
     """The backward's working set (hidden tile + resident dW accumulators
     + W transposes) overflows the 16 MB default scoped-vmem budget by a
-    hair at tm=128; raise the cap (v5e VMEM is far larger).
-    CPC_FFN_VMEM_LIMIT overrides for tuning."""
-    limit = int(float(os.environ.get("CPC_FFN_VMEM_LIMIT", "40e6")))
+    hair at tm=128; raise the cap (v5e VMEM is far larger — the tm=928
+    backward tile needs ~33 MB).  CPC_FFN_VMEM_LIMIT overrides for
+    tuning."""
+    limit = int(float(os.environ.get("CPC_FFN_VMEM_LIMIT", "48e6")))
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
 def _pick_tm(M: int, bwd: bool = False) -> int:
     """Rows per grid program: the largest divisor of M that is a multiple
-    of 8 and <= 512.  Bigger tiles amortize per-program overhead (v5e
-    sweep at the bench config M=3712: tm=128 2.95, 232 2.78, 464 2.64 ms
-    fwd+bwd) and the raised scoped-vmem budget (_compiler_params) fits
-    them; CPC_FFN_TM overrides for tuning, CPC_FFN_TM_BWD additionally
-    for the backward (only honored with dropout OFF — the in-kernel
-    dropout stream is keyed by program id, so fwd/bwd grids must match
-    when a mask exists)."""
+    of 8 and <= 512 (forward) / <= 1024 (backward).  Bigger tiles
+    amortize per-program overhead (v5e sweeps at the bench config
+    M=3712: fwd tm=128 2.95, 232 2.78, 464 2.64 ms fwd+bwd; bwd-only
+    464 1.67, 928 1.63 ms) and the raised scoped-vmem budget
+    (_compiler_params) fits them.  The fwd and bwd grids may differ
+    freely: the in-kernel dropout stream is keyed by ABSOLUTE row
+    granule (_ffn_dropout_rows), not program id.  CPC_FFN_TM overrides
+    for tuning, CPC_FFN_TM_BWD additionally for the backward."""
     pref = os.environ.get("CPC_FFN_TM_BWD" if bwd else "CPC_FFN_TM") \
         or os.environ.get("CPC_FFN_TM")
     if pref is not None:
@@ -213,10 +235,18 @@ def _pick_tm(M: int, bwd: bool = False) -> int:
         if tm <= M and M % tm == 0:
             return tm
     best = 0
-    for tm in range(8, min(512, M) + 1, 8):
+    for tm in range(8, min(1024 if bwd else 512, M) + 1, 8):
         if M % tm == 0:
             best = tm
     return best or M
+
+
+def _mask_granule(M: int) -> int:
+    """Dropout-stream granule: the gcd of the fwd and bwd row tiles, so
+    one granule's mask never straddles a tile boundary in either grid.
+    Both kernels compute this from the same deterministic picks."""
+    import math as _math
+    return _math.gcd(_pick_tm(M), _pick_tm(M, bwd=True))
 
 
 def fused_tail_supported(M: int, D: int, F: int) -> bool:
@@ -232,7 +262,7 @@ def fused_tail_supported(M: int, D: int, F: int) -> bool:
             + 6 * tm * D * 4)        # x/y/dy/dx/yhat tiles
     # keep the estimate inside the limit passed to the compiler
     # (_compiler_params), with headroom for Mosaic's pipeline buffers
-    limit = float(os.environ.get("CPC_FFN_VMEM_LIMIT", "40e6"))
+    limit = float(os.environ.get("CPC_FFN_VMEM_LIMIT", "48e6"))
     cap = float(os.environ.get("CPC_FFN_VMEM_CAP", str(0.8 * limit)))
     return vmem < cap
 
@@ -292,7 +322,7 @@ def _tail_fwd(x, ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, seed,
     seed_row = jnp.broadcast_to(seed.reshape(-1)[:1, None], (1, 128))
     out = pl.pallas_call(
         functools.partial(_tail_fwd_kernel, rate=rate, eps=eps,
-                          interpret=interpret),
+                          M=M, gr=_mask_granule(M), interpret=interpret),
         grid=(K, M // tm),
         in_specs=[seed_s, row, vecD, vecD, w1s, vecF, w2s, vecD, vecD,
                   vecD],
@@ -301,6 +331,11 @@ def _tail_fwd(x, ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, seed,
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
     )(seed_row, x, ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b)
+    # NOTE (measured negative result, round 3): emitting the output
+    # transposed as (M, K, D) row-major — the {2,0,1} layout the scoring
+    # einsums want — does NOT remove the consumer-side relayout copies:
+    # XLA pins the custom-call result to the default layout and lowers
+    # the reshape+transpose chain as TWO copies (0.19 vs 0.12 ms).
     return out, (x, ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, seed)
 
 
@@ -308,9 +343,9 @@ def _tail_bwd(rate, eps, interpret, res, dout):
     x, ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, seed = res
     K, M, D = x.shape
     F = w1.shape[-1]
-    # the dropout mask regenerates from (seed, program id): the bwd grid
-    # may only differ from the fwd grid when there is no mask
-    tm = _pick_tm(M, bwd=(rate == 0.0))
+    # masks are keyed by absolute row granule (_ffn_dropout_rows), so the
+    # bwd grid is free to differ from the fwd grid even with dropout on
+    tm = _pick_tm(M, bwd=True)
     row, vecD, vecF, w1s, w2s, seed_s, mem = _specs(K, tm, D, F, interpret)
     # Parameter-grad accumulators: the dW blocks' index is constant in
     # t -> VMEM resident across the row tiles, flushed once per head;
@@ -330,7 +365,7 @@ def _tail_bwd(rate, eps, interpret, res, dout):
     w2t = jnp.swapaxes(w2, 1, 2)
     outs = pl.pallas_call(
         functools.partial(_tail_bwd_kernel, rate=rate, eps=eps,
-                          interpret=interpret),
+                          M=M, gr=_mask_granule(M), interpret=interpret),
         grid=(K, M // tm),
         in_specs=[seed_s, row, vecD, vecD, w1s, vecF, w2s, vecD, vecD,
                   vecD, w1t_s, w2t_s, row],

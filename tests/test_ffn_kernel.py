@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from cpc_audio_tpu.ops.pallas.attention import _dropout_mask
-from cpc_audio_tpu.ops.pallas.ffn import (_pick_tm, fused_layer_tail,
+from cpc_audio_tpu.ops.pallas.ffn import (_mask_granule, _pick_tm,
+                                          fused_layer_tail,
                                           fused_tail_supported)
 
 K, M, D, F = 2, 64, 128, 256
@@ -40,15 +41,17 @@ def _ln(x, w, b):
 
 
 def _mask_for(rate, seed_val):
-    """Reassemble the kernel's per-(k, tile) interpret-mode dropout mask
-    as one (K, M, F) tensor (scaled by 1/keep, zeros where dropped)."""
-    tm = _pick_tm(M)
-    T = M // tm
+    """Reassemble the kernel's interpret-mode dropout mask as one
+    (K, M, F) tensor (scaled by 1/keep, zeros where dropped).  Streams
+    are keyed by the ABSOLUTE row granule (ffn._ffn_dropout_rows), so
+    this reconstruction is tile-size independent by construction."""
+    gr = _mask_granule(M)
+    n_gr = M // gr
     seed = jnp.asarray(seed_val, jnp.float32)
     rows = []
     for k in range(K):
-        tiles = [_dropout_mask((tm, F), rate, seed, k * T + t, True)
-                 for t in range(T)]
+        tiles = [_dropout_mask((gr, F), rate, seed, k * n_gr + g, True)
+                 for g in range(n_gr)]
         rows.append(jnp.concatenate(tiles, axis=0))
     return jnp.stack(rows)
 
@@ -132,6 +135,35 @@ def test_tail_values_and_grads_with_dropout():
                    argnums=tuple(range(9)))(*args)
     names = ["x", "ln1w", "ln1b", "w1", "b1", "w2", "b2", "ln2w", "ln2b"]
     for n, a, b in zip(names, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=n)
+
+
+def test_dropout_mask_survives_fwd_bwd_tile_split(monkeypatch):
+    """With DIFFERENT fwd/bwd row tiles and dropout ON, the backward must
+    regenerate the exact forward mask (absolute-granule keying).  The
+    program-id-keyed scheme fails this: its bwd mask depends on the tile
+    size, silently corrupting every gradient through the dropout site —
+    the same bug class the attention kernel fixed in round 3."""
+    rate, seed_val = 0.25, 5.0
+    rng = np.random.RandomState(6)
+    args = _params(rng)
+    cot = jnp.asarray(rng.randn(K, M, D), jnp.float32)
+
+    monkeypatch.setenv("CPC_FFN_TM", "16")
+    monkeypatch.setenv("CPC_FFN_TM_BWD", "64")
+    assert _pick_tm(M) == 16 and _pick_tm(M, bwd=True) == 64
+    mask = _mask_for(rate, seed_val)
+    got = _fused(args, rate, seed_val)
+    want = _reference(args, rate, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    g_f = jax.grad(lambda *a: jnp.sum(_fused(a, rate, seed_val) * cot),
+                   argnums=tuple(range(9)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(_reference(a, rate, mask) * cot),
+                   argnums=tuple(range(9)))(*args)
+    for n, a, b in zip(["x", "w1", "w2"], g_f[:1] + g_f[3:4] + g_f[5:6],
+                       g_r[:1] + g_r[3:4] + g_r[5:6]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=n)
 
