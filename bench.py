@@ -112,7 +112,7 @@ def main():
     state, metrics = run_steps(state, 3)
     _ = np.asarray(metrics["losses"])
 
-    def timed(k, reps=3):
+    def timed(k, reps=5):
         nonlocal state
         best = float("inf")
         for _ in range(reps):

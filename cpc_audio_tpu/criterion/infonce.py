@@ -139,13 +139,15 @@ def sample_negatives_rolled(key: jax.Array, encoded_data: jax.Array,
 
 def stack_positives(encoded_data: jax.Array, n_predicts: int,
                     window_size: int) -> jax.Array:
-    """pos[k] = z[:, k+1 : k+1+W]  (criterion.py:207-215) -> (K, B, W, C)."""
-    idx = (jnp.arange(n_predicts)[:, None] + 1
-           + jnp.arange(window_size)[None, :])           # (K, W)
-    pos = jnp.take(encoded_data, idx.reshape(-1), axis=1)
-    K = n_predicts
-    B, _, C = encoded_data.shape
-    return pos.reshape(B, K, window_size, C).transpose(1, 0, 2, 3)
+    """pos[k] = z[:, k+1 : k+1+W]  (criterion.py:207-215) -> (K, B, W, C).
+
+    STATIC slices, not a gather: the shifts are compile-time constants,
+    so the backward lowers to K fusible pad+adds instead of a 0.11
+    ms/step scatter-add into z (device trace, round 3)."""
+    return jnp.stack([
+        jax.lax.slice_in_dim(encoded_data, k + 1, k + 1 + window_size,
+                             axis=1)
+        for k in range(n_predicts)])
 
 
 class ModelCriterionCombined(nn.Module):
