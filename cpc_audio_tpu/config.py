@@ -57,7 +57,7 @@ class CPCConfig:
     # reference semantics).
     compute_dtype: str = "float32"      # float32 | bfloat16 : activation dtype
     negative_sampling_scope: str = "device"  # device (reference per-shard) | global
-    negativeSamplingMode: str = "exact"  # exact (reference) | rolled (experimental)
+    negativeSamplingMode: str = "exact"  # exact (reference) | stratified | rolled
     stopGradNegatives: bool = False      # fast objective variant (see docs)
 
     def replace(self, **kw) -> "CPCConfig":
@@ -142,8 +142,11 @@ def add_cpc_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "steps; changes the objective — see PERFORMANCE.md)")
     g.add_argument("--negativeSamplingMode", type=str,
                    default=d.negativeSamplingMode,
-                   choices=["exact", "rolled"],
-                   help="rolled: structured negatives (experimental; "
+                   choices=["exact", "rolled", "stratified"],
+                   help="stratified: permutation-stratified negatives "
+                        "(same per-window marginals, scatter-free "
+                        "backward; needs power-of-two batch*seq); "
+                        "rolled: structured negatives (experimental; "
                         "one offset per candidate)")
     return parser
 

@@ -26,10 +26,13 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.feistel import ROUNDS, feistel_inverse, feistel_permute
 from .prediction import PredictionNetwork
 
 
@@ -137,6 +140,89 @@ def sample_negatives_rolled(key: jax.Array, encoded_data: jax.Array,
     return neg.reshape(B, n_negative, window_size, C).transpose(0, 2, 1, 3)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _permutation_gather(z_flat, idx_nm, inv_nd, B: int, W: int, N: int):
+    """Gather negatives whose per-slice indices are a PERMUTATION, with a
+    scatter-free backward.
+
+    Forward: plain row gather — neg[b, w, n] = z_flat[idx_nm[n, b*W+w]].
+
+    Backward: because slice n's destinations are unique (idx_nm[n] is a
+    keyed permutation of [0, M) restricted to B*W slots), the z cotangent
+    is an analytic inverse-permutation GATHER,
+
+        dz[d] = sum_n dneg[n, inv_nd[n, d]]   (zero where inv >= B*W),
+
+    i.e. 128 parallel row gathers from 1.9 MB VMEM-resident slices
+    instead of the 4.87 ms serial 475k-row scatter-add that autodiff
+    emits for iid indices (docs/PERFORMANCE.md: the scatter is
+    iteration-bound at ~9.6 cycles/row; a gather runs at ~2.9)."""
+    flat = idx_nm.transpose(1, 0).reshape(-1).astype(jnp.int32)
+    neg = jnp.take(z_flat, flat, axis=0)
+    return neg.reshape(B, W, N, z_flat.shape[-1])
+
+
+def _permutation_gather_fwd(z_flat, idx_nm, inv_nd, B, W, N):
+    out = _permutation_gather(z_flat, idx_nm, inv_nd, B, W, N)
+    return out, inv_nd
+
+
+def _permutation_gather_bwd(B, W, N, inv_nd, dneg):
+    C = dneg.shape[-1]
+    dneg_n = dneg.transpose(2, 0, 1, 3).reshape(N, B * W, C)
+    slot = jnp.minimum(inv_nd, np.uint32(B * W - 1)).astype(jnp.int32)
+    valid = (inv_nd < np.uint32(B * W))[..., None]            # (N, M, 1)
+    g = jnp.take_along_axis(dneg_n, slot[..., None], axis=1)  # (N, M, C)
+    dz = jnp.sum(jnp.where(valid, g, 0).astype(jnp.float32), axis=0)
+    zero = np.zeros(inv_nd.shape, dtype=jax.dtypes.float0)
+    return dz.astype(dneg.dtype), zero, zero
+
+
+_permutation_gather.defvjp(_permutation_gather_fwd, _permutation_gather_bwd)
+
+
+def sample_negatives_stratified(key: jax.Array, encoded_data: jax.Array,
+                                window_size: int,
+                                n_negative: int) -> jax.Array:
+    """Permutation-stratified within-batch negative sampling.
+
+    Each negative slice n draws its destinations as an independently
+    keyed Feistel permutation of the flat (batch*time) frame index, so
+
+      * per WINDOW the N negatives are iid uniform over all B*S frames —
+        the value of independent random permutations at a fixed point —
+        i.e. the same marginal law as the reference's iid sampler
+        (/root/reference/cpc/criterion/criterion.py:174-201) except that
+        the anchor's own time column is not excluded (a 1/S-mass
+        difference; the positive frame was never excluded by either);
+      * per SLICE the destinations are unique, which converts the
+        InfoNCE backward's serial scatter-add into parallel
+        inverse-permutation gathers (see ``_permutation_gather``).
+
+    Cross-window, slices are sampled without replacement — a mild
+    variance-reduction vs iid (each frame serves as a negative the same
+    number of times per slice).  Validated metric-equivalent to ``exact``
+    at fixture scale (docs/PERFORMANCE.md round 3).
+
+    Requires B*S to be a power of two (the Feistel domain); use
+    ``exact`` otherwise.  Returns (B, W, N, C) like ``sample_negatives``.
+    """
+    B, S, C = encoded_data.shape
+    M = B * S
+    if M & (M - 1):
+        raise ValueError(
+            f"stratified sampling needs a power-of-two batch*seq frame "
+            f"count, got {B}x{S}={M}; use negativeSamplingMode=exact")
+    nbits = M.bit_length() - 1
+    keys = jax.random.bits(key, (n_negative, ROUNDS), dtype=jnp.uint32)
+    slots = jnp.arange(B * window_size, dtype=jnp.uint32)[None, :]
+    idx_nm = feistel_permute(slots, keys, nbits)              # (N, B*W)
+    dests = jnp.arange(M, dtype=jnp.uint32)[None, :]
+    inv_nd = feistel_inverse(dests, keys, nbits)              # (N, M)
+    return _permutation_gather(encoded_data.reshape(M, C), idx_nm, inv_nd,
+                               B, window_size, n_negative)
+
+
 def stack_positives(encoded_data: jax.Array, n_predicts: int,
                     window_size: int) -> jax.Array:
     """pos[k] = z[:, k+1 : k+1+W]  (criterion.py:207-215) -> (K, B, W, C).
@@ -211,8 +297,9 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         c = c_feature[:, :W]
 
         key = self.make_rng("sampling")
-        sampler = sample_negatives_rolled if self.sampling_mode == "rolled" \
-            else sample_negatives
+        sampler = {"rolled": sample_negatives_rolled,
+                   "stratified": sample_negatives_stratified,
+                   }.get(self.sampling_mode, sample_negatives)
         neg = sampler(key, encoded_data, W,
                       self.negative_sampling_ext)           # (B,W,N,C)
         if self.stop_grad_negatives:

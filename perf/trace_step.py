@@ -43,6 +43,7 @@ def run_and_trace(outdir: str, which: str):
             dim_output_encoder=config.hiddenEncoder,
             negative_sampling_ext=config.negativeSamplingExt,
             rnn_mode=config.rnnMode,
+            sampling_mode=os.environ.get("CPC_SAMPLING_MODE", "exact"),
             size_input_seq=config.sizeWindow // 160)
         optimizer = make_optimizer()
         mesh = get_mesh(len(jax.devices()))

@@ -34,6 +34,7 @@ VARIANTS = {
     "exact": [],
     "stopgrad": ["--stopGradNegatives"],
     "rolled": ["--negativeSamplingMode", "rolled"],
+    "stratified": ["--negativeSamplingMode", "stratified"],
 }
 
 
@@ -57,7 +58,10 @@ def main():
                         "(docs/PERFORMANCE.md round 3)")
     p.add_argument("--margin", type=float, default=0.02,
                    help="max tolerated probe-accuracy deficit vs exact")
+    p.add_argument("--variants", default=",".join(VARIANTS),
+                   help="comma list; must include 'exact' (the baseline)")
     args = p.parse_args()
+    variants = {k: VARIANTS[k] for k in args.variants.split(",")}
 
     from cpc_audio_tpu.eval.linear_separability import main as probe_main
     from cpc_audio_tpu.train import main as train_main
@@ -71,7 +75,7 @@ def main():
         f.write("\n".join(PROBE_VAL) + "\n")
 
     results = {}
-    for name, extra in VARIANTS.items():
+    for name, extra in variants.items():
         ckpt_dir = os.path.join(args.workdir, name)
         rc = train_main([
             "--nGPU", "1",
@@ -127,7 +131,7 @@ def main():
     base = results["exact"]["probe_acc_mean"]
     verdict = {v: ("ok" if results[v]["probe_acc_mean"] >= base - args.margin
                    else "degrades")
-               for v in VARIANTS if v != "exact"}
+               for v in variants if v != "exact"}
     print(json.dumps({"verdict": verdict, "exact_probe_acc": base,
                       "margin": args.margin, "nEpoch": args.nEpoch}))
     return 0

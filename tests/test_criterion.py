@@ -377,3 +377,68 @@ def test_relu_dropout_custom_vjp_matches_composition():
                                rtol=1e-5, atol=1e-7)
     # dropped and negative entries get exactly zero gradient
     assert np.all(np.asarray(g_c)[np.asarray(y_c) == 0] == 0)
+
+
+def test_sample_negatives_stratified_semantics(rng):
+    """Stratified negatives: real frames, per-slice destination uniqueness,
+    and a backward that matches autodiff of a plain gather exactly."""
+    from cpc_audio_tpu.ops.feistel import ROUNDS, feistel_permute
+    from cpc_audio_tpu.criterion.infonce import sample_negatives_stratified
+
+    B, S, C, N, W = 4, 16, 8, 8, 12
+    M = B * S
+    z = jax.random.normal(rng, (B, S, C))
+    key = jax.random.PRNGKey(7)
+    neg = sample_negatives_stratified(key, z, W, N)
+    assert neg.shape == (B, W, N, C)
+
+    # reproduce the indices the sampler derived from `key`
+    keys = jax.random.bits(key, (N, ROUNDS), dtype=jnp.uint32)
+    idx = feistel_permute(jnp.arange(B * W, dtype=jnp.uint32)[None, :],
+                          keys, M.bit_length() - 1)       # (N, B*W)
+    idx_np = np.asarray(idx)
+    for n in range(N):  # slice-wise uniqueness (what kills the scatter)
+        assert len(set(idx_np[n].tolist())) == B * W
+    flat = jnp.asarray(idx_np.T.reshape(-1), jnp.int32)
+
+    def plain(zz):
+        return jnp.take(zz.reshape(M, C), flat, axis=0).reshape(B, W, N, C)
+
+    np.testing.assert_array_equal(np.asarray(neg), np.asarray(plain(z)))
+
+    cot = jax.random.normal(jax.random.PRNGKey(3), (B, W, N, C))
+    g_strat = jax.grad(
+        lambda zz: jnp.vdot(sample_negatives_stratified(key, zz, W, N),
+                            cot))(z)
+    g_plain = jax.grad(lambda zz: jnp.vdot(plain(zz), cot))(z)
+    np.testing.assert_allclose(np.asarray(g_strat), np.asarray(g_plain),
+                               atol=1e-5)
+
+
+def test_sample_negatives_stratified_rejects_non_pow2(rng):
+    from cpc_audio_tpu.criterion.infonce import sample_negatives_stratified
+    z = jax.random.normal(rng, (3, 16, 8))  # 48 frames: not a power of two
+    with pytest.raises(ValueError, match="power-of-two"):
+        sample_negatives_stratified(jax.random.PRNGKey(0), z, 12, 8)
+
+
+def test_infonce_stratified_mode(rng):
+    """End to end: finite loss, gradients flow into the encodings through
+    BOTH the positive and the negative (permutation-gather) paths."""
+    B, S, dim = 4, 16, 8
+    crit = _make_criterion(sampling_mode="stratified")
+    c = jax.random.normal(rng, (B, S, dim))
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, S, dim))
+    variables = crit.init({"params": rng, "sampling": jax.random.PRNGKey(2)},
+                          c, z, None)
+
+    def loss(zz):
+        losses, _ = crit.apply(variables, c, zz, None,
+                               rngs={"sampling": jax.random.PRNGKey(3)})
+        return jnp.sum(losses)
+
+    val = loss(z)
+    assert np.isfinite(float(val))
+    dz = jax.grad(loss)(z)
+    assert float(jnp.abs(dz).max()) > 0
+    assert np.isfinite(np.asarray(dz)).all()

@@ -169,3 +169,41 @@ def test_pallas_scatter_add_skew_fallback():
     ref = jnp.zeros((512, 64), jnp.float32).at[keys].add(
         upd.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Feistel format-preserving permutation (ops/feistel.py)
+
+
+@pytest.mark.parametrize("nbits", [4, 7, 12])
+def test_feistel_bijective_and_invertible(nbits):
+    from cpc_audio_tpu.ops.feistel import (ROUNDS, feistel_inverse,
+                                           feistel_permute)
+    M = 1 << nbits
+    keys = jax.random.bits(jax.random.PRNGKey(11), (6, ROUNDS),
+                           dtype=jnp.uint32)
+    x = jnp.arange(M, dtype=jnp.uint32)[None, :]
+    y = feistel_permute(x, keys, nbits)
+    assert y.shape == (6, M)
+    ys = np.sort(np.asarray(y), axis=1)
+    np.testing.assert_array_equal(ys, np.broadcast_to(np.arange(M), (6, M)))
+    np.testing.assert_array_equal(np.asarray(feistel_inverse(y, keys, nbits)),
+                                  np.broadcast_to(np.asarray(x), (6, M)))
+
+
+def test_feistel_pointwise_marginal_uniform():
+    """The permutation family's value at a fixed point must be ~uniform
+    across keys (this is what makes stratified sampling's per-window
+    negative marginals match the iid reference sampler)."""
+    from cpc_audio_tpu.ops.feistel import ROUNDS, feistel_permute
+    nbits, trials = 6, 4096
+    M = 1 << nbits
+    keys = jax.random.bits(jax.random.PRNGKey(5), (trials, ROUNDS),
+                           dtype=jnp.uint32)
+    vals = feistel_permute(jnp.full((1, 1), 23, jnp.uint32)[..., 0][None],
+                           keys, nbits)
+    counts = np.bincount(np.asarray(vals).ravel(), minlength=M)
+    exp = trials / M
+    chi2 = float(((counts - exp) ** 2 / exp).sum())
+    # dof 63: mean 63, 99.99th percentile ~115; generous bound
+    assert chi2 < 150, chi2
