@@ -174,8 +174,11 @@ def _permutation_gather_bwd(B, W, N, inv_nd, dneg):
     valid = (inv_nd < np.uint32(B * W))[..., None]            # (N, M, 1)
     g = jnp.take_along_axis(dneg_n, slot[..., None], axis=1)  # (N, M, C)
     dz = jnp.sum(jnp.where(valid, g, 0).astype(jnp.float32), axis=0)
-    zero = np.zeros(inv_nd.shape, dtype=jax.dtypes.float0)
-    return dz.astype(dneg.dtype), zero, zero
+    # float0 cotangents must match each integer primal's shape:
+    # idx_nm is (N, B*W), inv_nd is (N, M).
+    zero_idx = np.zeros((N, B * W), dtype=jax.dtypes.float0)
+    zero_inv = np.zeros(inv_nd.shape, dtype=jax.dtypes.float0)
+    return dz.astype(dneg.dtype), zero_idx, zero_inv
 
 
 _permutation_gather.defvjp(_permutation_gather_fwd, _permutation_gather_bwd)
@@ -201,8 +204,9 @@ def sample_negatives_stratified(key: jax.Array, encoded_data: jax.Array,
 
     Cross-window, slices are sampled without replacement — a mild
     variance-reduction vs iid (each frame serves as a negative the same
-    number of times per slice).  Validated metric-equivalent to ``exact``
-    at fixture scale (docs/PERFORMANCE.md round 3).
+    number of times per slice).  Validation status: see
+    docs/PERFORMANCE.md (round 4) for the TPU measurement and the
+    fixture-scale learning comparison vs ``exact``.
 
     Requires B*S to be a power of two (the Feistel domain); use
     ``exact`` otherwise.  Returns (B, W, N, C) like ``sample_negatives``.
@@ -297,9 +301,14 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         c = c_feature[:, :W]
 
         key = self.make_rng("sampling")
-        sampler = {"rolled": sample_negatives_rolled,
-                   "stratified": sample_negatives_stratified,
-                   }.get(self.sampling_mode, sample_negatives)
+        samplers = {"exact": sample_negatives,
+                    "rolled": sample_negatives_rolled,
+                    "stratified": sample_negatives_stratified}
+        if self.sampling_mode not in samplers:
+            raise ValueError(
+                f"unknown sampling_mode {self.sampling_mode!r}; "
+                f"expected one of {sorted(samplers)}")
+        sampler = samplers[self.sampling_mode]
         neg = sampler(key, encoded_data, W,
                       self.negative_sampling_ext)           # (B,W,N,C)
         if self.stop_grad_negatives:

@@ -61,7 +61,13 @@ def main():
     p.add_argument("--variants", default=",".join(VARIANTS),
                    help="comma list; must include 'exact' (the baseline)")
     args = p.parse_args()
-    variants = {k: VARIANTS[k] for k in args.variants.split(",")}
+    names = [t.strip() for t in args.variants.split(",") if t.strip()]
+    unknown = [n for n in names if n not in VARIANTS]
+    if unknown:
+        p.error(f"unknown variant(s) {unknown}; known: {sorted(VARIANTS)}")
+    if "exact" not in names:
+        p.error("--variants must include 'exact' (the comparison baseline)")
+    variants = {k: VARIANTS[k] for k in names}
 
     from cpc_audio_tpu.eval.linear_separability import main as probe_main
     from cpc_audio_tpu.train import main as train_main
