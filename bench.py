@@ -23,9 +23,11 @@ dispatch for measuring the tunnel overhead itself.
 
 ``vs_baseline`` compares against A100_REF_WINDOWS_PER_SEC, an estimate of
 the torch reference's single-A100 throughput (the reference publishes no
-numbers — BASELINE.md): ~8.6 GFLOP fwd/window with eager torch, sequential
-per-head modules and cuDNN LSTM ~= 700 windows/s.  BASELINE.json's north
-star is >= 3x this.
+numbers — BASELINE.md): ~17.1 GFLOP/window per train step with eager
+torch, sequential per-head Python-loop modules and cuDNN LSTM at ~3.8%
+of A100 bf16 peak ~= 700 windows/s.  Full derivation + sensitivity
+bracket: docs/PERFORMANCE.md "the A100 denominator, derived".
+BASELINE.json's north star is >= 3x this.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

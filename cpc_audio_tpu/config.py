@@ -146,8 +146,9 @@ def add_cpc_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="stratified: permutation-stratified negatives "
                         "(same per-window marginals, scatter-free "
                         "backward; needs power-of-two batch*seq); "
-                        "rolled: structured negatives (experimental; "
-                        "one offset per candidate)")
+                        "rolled: DEPRECATED test hook — measured both "
+                        "slower than exact AND learning-degrading "
+                        "(docs/PERFORMANCE.md round 3); no known use")
     return parser
 
 

@@ -119,10 +119,11 @@ def sample_negatives_rolled(key: jax.Array, encoded_data: jax.Array,
 
     neg[b, w, n] = z[b', (u + w) % S] with b' ~ U[0,B), u ~ U[1,S) drawn
     per (b, n) — each negative is a contiguous (mod-S) window of a random
-    batch row.  EXPERIMENTAL alternative semantics (negatives within one
-    candidate share a time offset); measured no faster than exact mode on
-    v5e (XLA lowers the slab gather's backward no better than the row
-    scatter), so `exact` remains the default and the recommendation.
+    batch row.  DEPRECATED TEST HOOK — measured BOTH no faster than exact
+    mode on v5e (XLA lowers the slab gather's backward no better than the
+    row scatter) AND learning-degrading at fixture scale (training stalls
+    at chance; docs/PERFORMANCE.md round 3).  No known use; kept only as
+    a comparison arm for perf/validate_objectives.py.
     Returns (B, W, N, C) like ``sample_negatives``.
     """
     B, S, C = encoded_data.shape

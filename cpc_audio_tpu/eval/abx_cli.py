@@ -95,7 +95,13 @@ def update_base_parser(parser):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--on_device", action="store_true",
                         help="Run DTW on the JAX device (wavefront scan) "
-                             "instead of the native host kernel")
+                             "instead of the native host kernel. NOTE: "
+                             "measured ~60x SLOWER than the host path "
+                             "(58 s vs 0.91 s / 2000 groups) — DTW is "
+                             "latency-bound and each padded-shape bucket "
+                             "pays a dispatch; the default host OpenMP "
+                             "path is recommended (docs/PERFORMANCE.md). "
+                             "Kept for deployments with no host BLAS/OpenMP.")
 
 
 def parse_args(argv):
