@@ -91,30 +91,40 @@ class NoneCriterion(BaseCriterion):
 
 
 def sample_negatives(key: jax.Array, encoded_data: jax.Array,
-                     window_size: int, n_negative: int) -> jax.Array:
+                     window_size: int, n_negative: int,
+                     pool: Optional[jax.Array] = None) -> jax.Array:
     """Within-batch negative sampling (criterion.py:174-201).
 
     encoded_data: (B, S, C).  Returns (B, W, N, C) negatives where
-    neg[b, w, n] = z[b', (w + u) % S] with b' ~ U[0,B), u ~ U[1,S) drawn
-    independently per (b, n, w) — the reference's exact scheme.
+    neg[b, w, n] = pool[b', (w + u) % S] with b' ~ U[0,Bp), u ~ U[1,S)
+    drawn independently per (b, n, w) — the reference's exact scheme.
+
+    ``pool`` is the (Bp, S, C) tensor negatives are drawn FROM; it
+    defaults to ``encoded_data`` itself (the reference's per-shard
+    semantics).  The global negative-sampling scope passes the
+    all-gathered cross-device batch instead (SURVEY.md §2.9 extension).
 
     Layout note: candidates are laid out (B, W, N, C) — w-major — so the
     scoring einsum is a clean (b, w)-batched (N, C) x (C, K) matmul and the
     softmax axis downstream is minor (docs/PERFORMANCE.md round 2).
     """
-    B, S, C = encoded_data.shape
+    B = encoded_data.shape[0]
+    if pool is None:
+        pool = encoded_data
+    Bp, S, C = pool.shape
     k1, k2 = jax.random.split(key)
-    batch_idx = jax.random.randint(k1, (B, n_negative, window_size), 0, B)
+    batch_idx = jax.random.randint(k1, (B, n_negative, window_size), 0, Bp)
     seq_off = jax.random.randint(k2, (B, n_negative, window_size), 1, S)
     base = jnp.arange(window_size)[None, None, :]
     seq_idx = (seq_off + base) % S
     flat_idx = (batch_idx * S + seq_idx).transpose(0, 2, 1).reshape(-1)
-    neg = jnp.take(encoded_data.reshape(B * S, C), flat_idx, axis=0)
+    neg = jnp.take(pool.reshape(Bp * S, C), flat_idx, axis=0)
     return neg.reshape(B, window_size, n_negative, C)
 
 
 def sample_negatives_rolled(key: jax.Array, encoded_data: jax.Array,
-                            window_size: int, n_negative: int) -> jax.Array:
+                            window_size: int, n_negative: int,
+                            pool: Optional[jax.Array] = None) -> jax.Array:
     """Structured negative sampling: one (row, offset) pair per (b, n).
 
     neg[b, w, n] = z[b', (u + w) % S] with b' ~ U[0,B), u ~ U[1,S) drawn
@@ -126,12 +136,15 @@ def sample_negatives_rolled(key: jax.Array, encoded_data: jax.Array,
     a comparison arm for perf/validate_objectives.py.
     Returns (B, W, N, C) like ``sample_negatives``.
     """
-    B, S, C = encoded_data.shape
+    B = encoded_data.shape[0]
+    if pool is None:
+        pool = encoded_data
+    Bp, S, C = pool.shape
     k1, k2 = jax.random.split(key)
-    batch_idx = jax.random.randint(k1, (B, n_negative), 0, B)
+    batch_idx = jax.random.randint(k1, (B, n_negative), 0, Bp)
     seq_off = jax.random.randint(k2, (B, n_negative), 1, S)
-    z2 = jnp.concatenate([encoded_data, encoded_data], axis=1)  # (B,2S,C)
-    flat = z2.reshape(B * 2 * S, C)
+    z2 = jnp.concatenate([pool, pool], axis=1)  # (Bp,2S,C)
+    flat = z2.reshape(Bp * 2 * S, C)
     starts = (batch_idx * 2 * S + seq_off).reshape(-1)
 
     def one(i0):
@@ -142,90 +155,128 @@ def sample_negatives_rolled(key: jax.Array, encoded_data: jax.Array,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _permutation_gather(z_flat, idx_nm, inv_nd, B: int, W: int, N: int):
-    """Gather negatives whose per-slice indices are a PERMUTATION, with a
-    scatter-free backward.
+def _windowed_permutation_gather(z_flat, idx, inv, B: int, W: int, N: int):
+    """Gather negatives indexed by ONE permutation at strided offsets,
+    with a streaming (scatter-free, random-read-free) backward.
 
-    Forward: plain row gather — neg[b, w, n] = z_flat[idx_nm[n, b*W+w]].
+    Forward: plain row gather — neg[b, w, n] = z_flat[idx[b*W+w, n]]
+    where idx[s, n] = pi((s + g*n) mod M), g = M/N, pi a keyed Feistel
+    permutation of [0, M).
 
-    Backward: because slice n's destinations are unique (idx_nm[n] is a
-    keyed permutation of [0, M) restricted to B*W slots), the z cotangent
-    is an analytic inverse-permutation GATHER,
+    Backward: writing u = pi^{-1}(d), the z cotangent is
 
-        dz[d] = sum_n dneg[n, inv_nd[n, d]]   (zero where inv >= B*W),
+        dz[d] = sum_n dneg[(u - g*n) mod M, n]   (zero where s >= B*W),
 
-    i.e. 128 parallel row gathers from 1.9 MB VMEM-resident slices
-    instead of the 4.87 ms serial 475k-row scatter-add that autodiff
-    emits for iid indices (docs/PERFORMANCE.md: the scatter is
-    iteration-bound at ~9.6 cycles/row; a gather runs at ~2.9)."""
-    flat = idx_nm.transpose(1, 0).reshape(-1).astype(jnp.int32)
+    a cyclic correlation over g-element blocks.  With u = g*q + r the
+    block index is (q - n) mod (M/g), so the whole reduction is a gather
+    of CONTIGUOUS (g*C)-byte blocks — 16 KB at the bench config, i.e.
+    streaming DMA — followed by one tiny (M, C) inverse-permutation
+    gather.  This replaces both the 4.87 ms serial 475k-row scatter-add
+    autodiff emits for iid indices (iteration-bound, ~9.6 cycles/row)
+    and the 7.0 ms per-slice random row gather of the first stratified
+    design (512 B random reads run at ~44 GB/s on this chip;
+    docs/PERFORMANCE.md round 4)."""
+    flat = idx.reshape(-1).astype(jnp.int32)
     neg = jnp.take(z_flat, flat, axis=0)
     return neg.reshape(B, W, N, z_flat.shape[-1])
 
 
-def _permutation_gather_fwd(z_flat, idx_nm, inv_nd, B, W, N):
-    out = _permutation_gather(z_flat, idx_nm, inv_nd, B, W, N)
-    return out, inv_nd
+def _windowed_permutation_gather_fwd(z_flat, idx, inv, B, W, N):
+    out = _windowed_permutation_gather(z_flat, idx, inv, B, W, N)
+    return out, inv
 
 
-def _permutation_gather_bwd(B, W, N, inv_nd, dneg):
+def _windowed_permutation_gather_bwd(B, W, N, inv, dneg):
     C = dneg.shape[-1]
-    dneg_n = dneg.transpose(2, 0, 1, 3).reshape(N, B * W, C)
-    slot = jnp.minimum(inv_nd, np.uint32(B * W - 1)).astype(jnp.int32)
-    valid = (inv_nd < np.uint32(B * W))[..., None]            # (N, M, 1)
-    g = jnp.take_along_axis(dneg_n, slot[..., None], axis=1)  # (N, M, C)
-    dz = jnp.sum(jnp.where(valid, g, 0).astype(jnp.float32), axis=0)
+    M = inv.shape[0]
+    BW = B * W
+    g = M // N
+    Q = M // g                                 # == N
+    d = dneg.reshape(BW, N, C).transpose(1, 0, 2)          # (N, BW, C)
+    d = jnp.pad(d, ((0, 0), (0, M - BW), (0, 0)))          # (N, M, C)
+    dq = d.reshape(N, Q, g * C)
+    tidx = (jnp.arange(Q, dtype=jnp.int32)[None, :]
+            - jnp.arange(N, dtype=jnp.int32)[:, None]) % Q  # (N, Q)
+    blocks = jnp.take_along_axis(dq, tidx[..., None], axis=1)
+    dz_pre = blocks.astype(jnp.float32).sum(0).reshape(M, C)
+    dz = jnp.take(dz_pre, inv.astype(jnp.int32), axis=0)
     # float0 cotangents must match each integer primal's shape:
-    # idx_nm is (N, B*W), inv_nd is (N, M).
-    zero_idx = np.zeros((N, B * W), dtype=jax.dtypes.float0)
-    zero_inv = np.zeros(inv_nd.shape, dtype=jax.dtypes.float0)
+    # idx is (B*W, N), inv is (M,).
+    zero_idx = np.zeros((BW, N), dtype=jax.dtypes.float0)
+    zero_inv = np.zeros((M,), dtype=jax.dtypes.float0)
     return dz.astype(dneg.dtype), zero_idx, zero_inv
 
 
-_permutation_gather.defvjp(_permutation_gather_fwd, _permutation_gather_bwd)
+_windowed_permutation_gather.defvjp(_windowed_permutation_gather_fwd,
+                                    _windowed_permutation_gather_bwd)
 
 
 def sample_negatives_stratified(key: jax.Array, encoded_data: jax.Array,
-                                window_size: int,
-                                n_negative: int) -> jax.Array:
+                                window_size: int, n_negative: int,
+                                pool: Optional[jax.Array] = None) -> jax.Array:
     """Permutation-stratified within-batch negative sampling.
 
-    Each negative slice n draws its destinations as an independently
-    keyed Feistel permutation of the flat (batch*time) frame index, so
+    One keyed Feistel permutation pi of the flat (batch*time) frame
+    index [0, M), evaluated at per-slice strided offsets:
 
-      * per WINDOW the N negatives are iid uniform over all B*S frames —
-        the value of independent random permutations at a fixed point —
-        i.e. the same marginal law as the reference's iid sampler
-        (/root/reference/cpc/criterion/criterion.py:174-201) except that
-        the anchor's own time column is not excluded (a 1/S-mass
+        neg[b, w, n] = pool_flat[pi((s + g*n) mod M)],
+        s = b*W + w,  g = M / N.
+
+    Statistical properties vs the reference's iid sampler
+    (/root/reference/cpc/criterion/criterion.py:174-201):
+
+      * marginally each negative is uniform over all M = B*S frames
+        (pi is a keyed permutation; same marginal law as the reference
+        except the anchor's own time column is not excluded — a 1/S-mass
         difference; the positive frame was never excluded by either);
-      * per SLICE the destinations are unique, which converts the
-        InfoNCE backward's serial scatter-add into parallel
-        inverse-permutation gathers (see ``_permutation_gather``).
+      * per ANCHOR the N negatives are pi at N distinct points (g*n are
+        distinct mod M), i.e. a uniform without-replacement draw — no
+        duplicate negatives inside a softmax (mild variance reduction
+        vs iid);
+      * per SLICE the destinations are unique, and the strided-offset
+        structure makes the backward a block-contiguous cyclic
+        correlation (see ``_windowed_permutation_gather``) instead of a
+        serial scatter-add.
 
-    Cross-window, slices are sampled without replacement — a mild
-    variance-reduction vs iid (each frame serves as a negative the same
-    number of times per slice).  Validation status: see
-    docs/PERFORMANCE.md (round 4) for the TPU measurement and the
-    fixture-scale learning comparison vs ``exact``.
+    The trade vs iid: anchors whose flat slots are congruent mod g share
+    most of their negative sets (the structure that buys the streaming
+    backward), so per-step gradients are more correlated across anchors.
+    Validation status: see docs/PERFORMANCE.md (round 4) for the TPU
+    measurement and the fixture-scale learning comparison vs ``exact``.
 
-    Requires B*S to be a power of two (the Feistel domain); use
-    ``exact`` otherwise.  Returns (B, W, N, C) like ``sample_negatives``.
+    Requires the pool's B*S to be a power of two (the Feistel domain)
+    and a power-of-two n_negative <= B*S (distinct strided offsets);
+    use ``exact`` otherwise.  ``pool`` (default: ``encoded_data``) is the
+    (Bp, S, C) tensor negatives are drawn from — the global sampling
+    scope passes the all-gathered cross-device batch.
+    Returns (B, W, N, C) like ``sample_negatives``.
     """
-    B, S, C = encoded_data.shape
-    M = B * S
+    B = encoded_data.shape[0]
+    if pool is None:
+        pool = encoded_data
+    Bp, S, C = pool.shape
+    M = Bp * S
+    N = n_negative
     if M & (M - 1):
         raise ValueError(
             f"stratified sampling needs a power-of-two batch*seq frame "
-            f"count, got {B}x{S}={M}; use negativeSamplingMode=exact")
+            f"count, got {Bp}x{S}={M}; use negativeSamplingMode=exact")
+    if N & (N - 1) or N > M:
+        raise ValueError(
+            f"stratified sampling needs a power-of-two negativeSamplingExt"
+            f" <= batch*seq ({M}), got {N}; use negativeSamplingMode=exact")
+    if B * window_size > M:
+        raise ValueError("anchor slots exceed the sampling domain")
+    g = M // N
     nbits = M.bit_length() - 1
-    keys = jax.random.bits(key, (n_negative, ROUNDS), dtype=jnp.uint32)
-    slots = jnp.arange(B * window_size, dtype=jnp.uint32)[None, :]
-    idx_nm = feistel_permute(slots, keys, nbits)              # (N, B*W)
-    dests = jnp.arange(M, dtype=jnp.uint32)[None, :]
-    inv_nd = feistel_inverse(dests, keys, nbits)              # (N, M)
-    return _permutation_gather(encoded_data.reshape(M, C), idx_nm, inv_nd,
-                               B, window_size, n_negative)
+    keys = jax.random.bits(key, (ROUNDS,), dtype=jnp.uint32)
+    s = jnp.arange(B * window_size, dtype=jnp.uint32)[:, None]
+    n = jnp.arange(N, dtype=jnp.uint32)[None, :]
+    slots = (s + np.uint32(g) * n) & np.uint32(M - 1)         # (B*W, N)
+    idx = feistel_permute(slots, keys, nbits)                 # (B*W, N)
+    inv = feistel_inverse(jnp.arange(M, dtype=jnp.uint32), keys, nbits)
+    return _windowed_permutation_gather(pool.reshape(M, C), idx, inv,
+                                        B, window_size, n_negative)
 
 
 def stack_positives(encoded_data: jax.Array, n_predicts: int,
@@ -273,8 +324,16 @@ class CPCUnsupervisedCriterion(BaseCriterion):
     speaker_embedding: int = 0
     n_speakers: int = 0
     size_input_seq: int = 128
-    sampling_mode: str = "exact"          # exact (reference) | rolled (experimental)
+    sampling_mode: str = "exact"          # exact (reference) | stratified | rolled (deprecated)
     stop_grad_negatives: bool = False     # opt-in: no grads through negatives
+    # 'device' (reference per-shard semantics, train.py:372-375) or
+    # 'global': negatives drawn from the ALL-GATHERED cross-device batch
+    # (the SURVEY.md §2.9 documented extension).  'global' only takes
+    # effect under shard_map with `data_axis` bound; elsewhere (init,
+    # single-process eval) the pool is the local batch, which is
+    # identical semantics at world size 1.
+    negative_sampling_scope: str = "device"
+    data_axis: str = "data"
 
     def setup(self):
         if self.mode not in (None, "reverse"):
@@ -310,8 +369,23 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                 f"unknown sampling_mode {self.sampling_mode!r}; "
                 f"expected one of {sorted(samplers)}")
         sampler = samplers[self.sampling_mode]
+        if self.negative_sampling_scope not in ("device", "global"):
+            raise ValueError(
+                f"unknown negative_sampling_scope "
+                f"{self.negative_sampling_scope!r}; expected device|global")
+        pool = None
+        if self.negative_sampling_scope == "global":
+            try:
+                # (world*B, S, C); differentiable — the all_gather
+                # transpose is a psum_scatter, so repulsion gradients
+                # flow back to the devices that OWN each negative frame.
+                pool = jax.lax.all_gather(encoded_data, self.data_axis,
+                                          axis=0, tiled=True)
+            except NameError:
+                pool = None  # axis unbound: init / single-process eval
         neg = sampler(key, encoded_data, W,
-                      self.negative_sampling_ext)           # (B,W,N,C)
+                      self.negative_sampling_ext,
+                      pool=pool)                             # (B,W,N,C)
         if self.stop_grad_negatives:
             # Opt-in objective change: drops the repulsion gradient through
             # negative encodings; kills the ~500k-row scatter-add in the

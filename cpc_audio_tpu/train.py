@@ -55,7 +55,8 @@ def get_criterion(config: CPCConfig, train_config: TrainConfig,
             n_speakers=n_speakers,
             size_input_seq=size_input_seq,
             sampling_mode=config.negativeSamplingMode,
-            stop_grad_negatives=config.stopGradNegatives)
+            stop_grad_negatives=config.stopGradNegatives,
+            negative_sampling_scope=config.negative_sampling_scope)
     if train_config.pathPhone is not None:
         if not train_config.CTC:
             return PhoneCriterion(dim_features, n_phones, config.onEncoder,

@@ -380,8 +380,8 @@ def test_relu_dropout_custom_vjp_matches_composition():
 
 
 def test_sample_negatives_stratified_semantics(rng):
-    """Stratified negatives: real frames, per-slice destination uniqueness,
-    and a backward that matches autodiff of a plain gather exactly."""
+    """Stratified negatives: real frames, per-slice AND per-anchor
+    uniqueness, and a backward that matches autodiff of a plain gather."""
     from cpc_audio_tpu.ops.feistel import ROUNDS, feistel_permute
     from cpc_audio_tpu.criterion.infonce import sample_negatives_stratified
 
@@ -392,14 +392,19 @@ def test_sample_negatives_stratified_semantics(rng):
     neg = sample_negatives_stratified(key, z, W, N)
     assert neg.shape == (B, W, N, C)
 
-    # reproduce the indices the sampler derived from `key`
-    keys = jax.random.bits(key, (N, ROUNDS), dtype=jnp.uint32)
-    idx = feistel_permute(jnp.arange(B * W, dtype=jnp.uint32)[None, :],
-                          keys, M.bit_length() - 1)       # (N, B*W)
+    # reproduce the indices the sampler derived from `key`:
+    # idx[s, n] = pi((s + g*n) mod M) with ONE keyed permutation pi
+    keys = jax.random.bits(key, (ROUNDS,), dtype=jnp.uint32)
+    g = M // N
+    slots = (np.arange(B * W, dtype=np.uint32)[:, None]
+             + np.uint32(g) * np.arange(N, dtype=np.uint32)[None, :]) % M
+    idx = feistel_permute(jnp.asarray(slots), keys, M.bit_length() - 1)
     idx_np = np.asarray(idx)
     for n in range(N):  # slice-wise uniqueness (what kills the scatter)
-        assert len(set(idx_np[n].tolist())) == B * W
-    flat = jnp.asarray(idx_np.T.reshape(-1), jnp.int32)
+        assert len(set(idx_np[:, n].tolist())) == B * W
+    for s in range(B * W):  # anchor-wise: without-replacement negatives
+        assert len(set(idx_np[s].tolist())) == N
+    flat = jnp.asarray(idx_np.reshape(-1), jnp.int32)
 
     def plain(zz):
         return jnp.take(zz.reshape(M, C), flat, axis=0).reshape(B, W, N, C)
@@ -420,6 +425,9 @@ def test_sample_negatives_stratified_rejects_non_pow2(rng):
     z = jax.random.normal(rng, (3, 16, 8))  # 48 frames: not a power of two
     with pytest.raises(ValueError, match="power-of-two"):
         sample_negatives_stratified(jax.random.PRNGKey(0), z, 12, 8)
+    z2 = jax.random.normal(rng, (4, 16, 8))
+    with pytest.raises(ValueError, match="negativeSamplingExt"):
+        sample_negatives_stratified(jax.random.PRNGKey(0), z2, 12, 6)
 
 
 def test_infonce_stratified_mode(rng):

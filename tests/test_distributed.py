@@ -234,3 +234,137 @@ def test_stream_keys_distinct_across_steps_devices_and_collections():
     a = jax.random.randint(ks0, (8,), 0, 1000)
     b = jax.random.randint(ks1, (8,), 0, 1000)
     assert not (a == b).all()
+
+
+def test_negative_sampling_scope_pools_and_grads():
+    """Global-scope negatives (SURVEY.md §2.9 extension): inside shard_map
+    the sampler draws from the ALL-GATHERED batch, and gradients route back
+    through the all_gather transpose (psum_scatter) to the devices that own
+    each negative frame.  Verified against a plain single-process replay of
+    the same keys/indices for both the exact and stratified samplers."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from cpc_audio_tpu.criterion.infonce import (sample_negatives,
+                                                 sample_negatives_stratified)
+    from cpc_audio_tpu.parallel import get_mesh
+
+    n_dev, b_loc, S, C, N, W = 4, 2, 16, 8, 4, 14
+    mesh = get_mesh(n_dev)
+    rng = np.random.RandomState(0)
+    z_full = jnp.asarray(rng.randn(n_dev * b_loc, S, C), jnp.float32)
+    key = jax.random.PRNGKey(42)
+
+    for sampler in (sample_negatives, sample_negatives_stratified):
+        def local_loss(z_local):
+            d = jax.lax.axis_index("data")
+            pool = jax.lax.all_gather(z_local, "data", axis=0, tiled=True)
+            neg = sampler(jax.random.fold_in(key, d), z_local, W, N,
+                          pool=pool)
+            # weighted so the grad pattern is position-sensitive.  The loss
+            # is the LOCAL term only: the all_gather transpose
+            # (psum_scatter) already sums every device's cotangent into the
+            # owning shard, so grad(z_local) = d(sum_d loss_d)/d z_local.
+            wgt = jnp.arange(neg.size, dtype=jnp.float32).reshape(neg.shape)
+            return jnp.sum(wgt * neg ** 2)
+
+        sharded_grad = jax.jit(jax.shard_map(
+            jax.grad(local_loss), mesh=mesh,
+            in_specs=P("data"), out_specs=P("data"), check_vma=False))
+        g_sh = np.asarray(sharded_grad(z_full))
+
+        def manual_loss(z_full):
+            tot = 0.0
+            for d in range(n_dev):
+                z_loc = jax.lax.dynamic_slice_in_dim(
+                    z_full, d * b_loc, b_loc, axis=0)
+                neg = sampler(jax.random.fold_in(key, d), z_loc, W, N,
+                              pool=z_full)
+                wgt = jnp.arange(neg.size,
+                                 dtype=jnp.float32).reshape(neg.shape)
+                tot = tot + jnp.sum(wgt * neg ** 2)
+            return tot
+
+        g_ref = np.asarray(jax.grad(manual_loss)(z_full))
+        assert np.any(g_ref != 0)
+        np.testing.assert_allclose(g_sh, g_ref, rtol=1e-6, atol=1e-6,
+                                   err_msg=sampler.__name__)
+
+        # and the pool is genuinely global: device 0's negatives must
+        # include frames owned by other devices (value-coded rows)
+        z_coded = jnp.broadcast_to(
+            (1.0 + jnp.arange(n_dev * b_loc, dtype=jnp.float32))
+            [:, None, None], z_full.shape)
+
+        def worker(z_local):
+            d = jax.lax.axis_index("data")
+            pool = jax.lax.all_gather(z_local, "data", axis=0, tiled=True)
+            return sampler(jax.random.fold_in(key, d), z_local, W, N,
+                           pool=pool)
+
+        negs = np.asarray(jax.jit(jax.shard_map(
+            worker, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+            check_vma=False))(z_coded))
+        dev0_vals = np.unique(negs[:b_loc])
+        assert dev0_vals.max() > b_loc, \
+            f"{sampler.__name__}: no cross-device negatives drawn"
+
+
+def test_global_scope_train_step_runs_and_differs():
+    """End-to-end: --negative_sampling_scope global trains (finite metrics)
+    on an 8-device mesh and produces different losses than device scope
+    (cross-device negatives); at world size 1 the two scopes are
+    bit-identical (all_gather is the identity), preserving exact
+    single-device reference behavior."""
+    import jax
+    import numpy as np
+
+    from cpc_audio_tpu.config import CPCConfig
+    from cpc_audio_tpu.criterion import CPCUnsupervisedCriterion
+    from cpc_audio_tpu.models import build_model
+    from cpc_audio_tpu.parallel import (create_train_state, get_mesh,
+                                        make_optimizer, make_train_step,
+                                        shard_batch)
+
+    config = CPCConfig(hiddenEncoder=16, hiddenGar=16, nPredicts=2,
+                       negativeSamplingExt=4, sizeWindow=3200,
+                       arMode="GRU", rnnMode="linear")
+    model = build_model(config)
+
+    def crit(scope):
+        return CPCUnsupervisedCriterion(
+            n_predicts=config.nPredicts, dim_output_ar=config.hiddenGar,
+            dim_output_encoder=config.hiddenEncoder,
+            negative_sampling_ext=config.negativeSamplingExt,
+            rnn_mode=config.rnnMode,
+            size_input_seq=config.sizeWindow // 160,
+            negative_sampling_scope=scope)
+
+    optimizer = make_optimizer()
+    key = jax.random.PRNGKey(9)
+
+    def run(n_dev, scope):
+        criterion = crit(scope)
+        mesh = get_mesh(n_dev)
+        state = create_train_state(jax.random.PRNGKey(0), model, criterion,
+                                   optimizer, (1, 1, config.sizeWindow))
+        step = make_train_step(model, criterion, optimizer, mesh,
+                               donate=False)
+        batch = shard_batch(mesh, np.random.RandomState(5).randn(
+            2 * n_dev, 1, config.sizeWindow).astype(np.float32))
+        _, _, metrics = step(state, batch, None, None, key, 2e-4)
+        return np.asarray(metrics["losses"])
+
+    l_dev = run(8, "device")
+    l_glob = run(8, "global")
+    assert np.all(np.isfinite(l_dev)) and np.all(np.isfinite(l_glob))
+    assert not np.allclose(l_dev, l_glob), \
+        "global scope must draw different negatives than device scope"
+
+    l1_dev = run(1, "device")
+    l1_glob = run(1, "global")
+    np.testing.assert_array_equal(l1_dev, l1_glob)
