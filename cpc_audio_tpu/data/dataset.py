@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -235,6 +236,10 @@ class AudioBatchData:
 
         self._prepare()
         self._pending: Optional[Future] = None
+        # seconds spent BLOCKED waiting for the prefetched pack, one entry
+        # per swap (index 0 is the unavoidable cold-start load) — the
+        # loader-starvation metric for the scale soak (perf/soak_loader.py)
+        self.stall_log: List[float] = []
         self.current_pack = -1
         self.next_pack = 0
         self._start_load(self.next_pack)
@@ -280,7 +285,9 @@ class AudioBatchData:
         (dataset.py:121-137)."""
         self.current_pack = self.next_pack
         assert self._pending is not None
+        t0 = time.perf_counter()
         next_data = self._pending.result()
+        self.stall_log.append(time.perf_counter() - t0)
         self._parse_data_block(next_data)
         self.next_pack = (self.current_pack + 1) % len(self.package_index)
         if self.next_pack == 0 and len(self.package_index) > 1:

@@ -64,6 +64,11 @@ def parse_args(argv):
     p.add_argument("--arMode", default="GRU")
     p.add_argument("--batchSizeGPU", type=int, default=8)
     p.add_argument("--random_seed", type=int, default=0)
+    p.add_argument("--negativeSamplingMode", default="exact",
+                   choices=["exact", "stratified", "rolled"],
+                   help="objective variant to gate (stratified needs a "
+                        "power-of-two batch*frames, e.g. --sizeWindow 2560 "
+                        "with --batchSizeGPU 8)")
     p.add_argument("--cpc_extra", nargs="*", default=[],
                    help="extra flags forwarded to the CPC trainer "
                         "(e.g. --cpc_extra --stopGradNegatives)")
@@ -101,6 +106,7 @@ def main(argv=None) -> int:
         "--nEpoch", str(args.nEpochCPC),
         "--save_step", str(max(args.nEpochCPC - 1, 1)),
         "--random_seed", str(args.random_seed),
+        "--negativeSamplingMode", args.negativeSamplingMode,
         "--n_process_loader", "2", "--ignore_cache"] + args.cpc_extra)
     if rc != 0:
         print(json.dumps({"gate": "learning", "ok": False,
@@ -135,7 +141,9 @@ def main(argv=None) -> int:
                       "acc_random": round(accs["random"], 5),
                       "delta": round(delta, 5),
                       "margin": args.margin,
-                      "nEpochCPC": args.nEpochCPC, "workdir": work}))
+                      "nEpochCPC": args.nEpochCPC,
+                      "negativeSamplingMode": args.negativeSamplingMode,
+                      "workdir": work}))
     return 0 if ok else 1
 
 

@@ -204,6 +204,13 @@ def run(train_dataset: AudioBatchData, val_dataset: AudioBatchData,
                 train_loader, train_step, state, hidden, ekey, lr, shard_fn,
                 logs["logging_step"], meter=meter)
         print(f"epoch throughput: {meter.summary()}")
+        stalls = getattr(train_loader.dataset, "stall_log", None)
+        if stalls and len(stalls) > 1:
+            # entry 0 is the cold-start load; the rest is time training
+            # actually waited on pack prefetch (loader starvation)
+            print(f"loader stalls: {sum(stalls[1:]):.2f}s over "
+                  f"{len(stalls) - 1} pack swaps "
+                  f"(max {max(stalls[1:]):.2f}s)")
         loc_logs_val, hidden, _ = val_epoch(
             val_loader, val_step, state, hidden, vkey, shard_fn)
         print(f"Ran {epoch + 1} epochs "
