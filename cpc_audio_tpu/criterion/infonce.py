@@ -211,6 +211,119 @@ _windowed_permutation_gather.defvjp(_windowed_permutation_gather_fwd,
                                     _windowed_permutation_gather_bwd)
 
 
+def _stratified_domain_check(Bp: int, S: int, n_negative: int,
+                             B: int, window_size: int):
+    """Shared shape validation for the stratified sampler/scorer.
+
+    Returns (M, g, nbits): the flat frame domain size, the permutation
+    stride between consecutive negative slices, and the Feistel width."""
+    M = Bp * S
+    N = n_negative
+    if M & (M - 1):
+        raise ValueError(
+            f"stratified sampling needs a power-of-two batch*seq frame "
+            f"count, got {Bp}x{S}={M}; use negativeSamplingMode=exact")
+    if N & (N - 1) or N > M:
+        raise ValueError(
+            f"stratified sampling needs a power-of-two negativeSamplingExt"
+            f" <= batch*seq ({M}), got {N}; use negativeSamplingMode=exact")
+    if B * window_size > M:
+        raise ValueError("anchor slots exceed the sampling domain")
+    return M, M // N, M.bit_length() - 1
+
+
+def _stratified_scores_impl(preds, pos, z_flat, perm, gblk: int,
+                            inv_c: float):
+    """Shared forward for `_stratified_score_pair` (primal and fwd rule).
+
+    Returns (pos_score (K, M), neg_score (K, M, N), zp) where anchor rows
+    past B*W are zero padding (masked out by `_info_nce_reduce`)."""
+    K, B, W, C = preds.shape
+    M = perm.shape[0]
+    Q = M // gblk                                   # == n_negative
+    acc_t = jnp.promote_types(preds.dtype, jnp.float32)
+    zp = jnp.take(z_flat, perm.astype(jnp.int32), axis=0)        # (M, C)
+    pf = jnp.pad(preds.reshape(K, B * W, C),
+                 ((0, 0), (0, M - B * W), (0, 0)))               # (K, M, C)
+    ps = jnp.einsum("kbwc,kbwc->kbw", preds, pos,
+                    preferred_element_type=acc_t) * inv_c
+    ps = jnp.pad(ps.reshape(K, B * W), ((0, 0), (0, M - B * W)))
+    # Cyclic block correlation: with u = g*q + r, anchor s = g*q_s + r_s
+    # sees candidate blocks (q_s + n) mod Q at its own residue r_s — so
+    # the scores against ALL Q blocks at residue r are one r-batched
+    # (K*Q, C) x (C, Q) matmul.  The per-anchor rotation n -> (q_s+n)%Q
+    # is a bijection of the candidate axis, and the criterion only ever
+    # REDUCES over that axis (max / logsumexp / mean), so the un-rotated
+    # block scores are exactly equivalent — the rotation gather (and the
+    # (B,W,N,C) negatives tensor) never materializes in either direction.
+    ns = jnp.einsum("kqgc,pgc->kqgp", pf.reshape(K, Q, gblk, C),
+                    zp.reshape(Q, gblk, C),
+                    preferred_element_type=acc_t) * inv_c
+    return ps, ns.reshape(K, M, Q), zp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _stratified_score_pair(preds, pos, z_flat, perm, inv, gblk: int,
+                           inv_c: float):
+    """Fused sample+score for stratified negatives — scatter-free and
+    negatives-tensor-free in BOTH directions.
+
+    Semantically identical (as a loss) to materializing
+    ``sample_negatives_stratified`` and scoring with ``_score_pair``:
+    neg[s, n] = z_flat[pi((s + g*n) mod M)] = zp[(s + g*n) mod M] with
+    zp = z_flat o pi, and the candidate axis is only ever reduced over,
+    so the rotated re-index is dropped (see `_stratified_scores_impl`).
+
+    Costs: one (M, C) permutation gather + one block-batched score
+    matmul forward; two block-batched matmuls + one (M, C)
+    inverse-permutation gather backward.  This replaces the reference's
+    475k-row scatter-add backward (iteration-bound, 4.87 ms at the bench
+    config — /root/reference/cpc/criterion/criterion.py:174-219 pays the
+    same scatter in CUDA) and the windowed-gather backward's ~4 ms of
+    XLA pad/transpose plumbing (docs/PERFORMANCE.md round 4).
+
+    Like `_score_pair`, the backward casts the f32 score cotangents to
+    the compute dtype once, keeping every backward matmul bf16."""
+    ps, ns, _ = _stratified_scores_impl(preds, pos, z_flat, perm, gblk,
+                                        inv_c)
+    return ps, ns
+
+
+def _stratified_score_pair_fwd(preds, pos, z_flat, perm, inv, gblk, inv_c):
+    ps, ns, zp = _stratified_scores_impl(preds, pos, z_flat, perm, gblk,
+                                         inv_c)
+    return (ps, ns), (preds, pos, zp, inv)
+
+
+def _stratified_score_pair_bwd(gblk, inv_c, res, cot):
+    preds, pos, zp, inv = res
+    dps, dns = cot                                   # (K, M), (K, M, N)
+    K, B, W, C = preds.shape
+    M = zp.shape[0]
+    Q = M // gblk
+    BW = B * W
+    dt = preds.dtype
+    dps_c = (dps[:, :BW].reshape(K, B, W) * inv_c).astype(dt)[..., None]
+    dns_c = (dns * inv_c).astype(dt).reshape(K, Q, gblk, Q)
+    pf = jnp.pad(preds.reshape(K, BW, C), ((0, 0), (0, M - BW), (0, 0)))
+    dpn = jnp.einsum("kqgp,pgc->kqgc", dns_c, zp.reshape(Q, gblk, C))
+    dpred = (dps_c * pos
+             + dpn.reshape(K, M, C)[:, :BW].reshape(K, B, W, C))
+    dpos = dps_c * preds
+    dzp = jnp.einsum("kqgp,kqgc->pgc", dns_c, pf.reshape(K, Q, gblk, C))
+    # zp = z_flat[perm]  =>  dz_flat[j] = dzp[inv[j]] — a gather, never
+    # a scatter (perm is a bijection).
+    dz = jnp.take(dzp.reshape(M, C).astype(dt), inv.astype(jnp.int32),
+                  axis=0)
+    zero_perm = np.zeros((M,), dtype=jax.dtypes.float0)
+    zero_inv = np.zeros((M,), dtype=jax.dtypes.float0)
+    return dpred, dpos, dz, zero_perm, zero_inv
+
+
+_stratified_score_pair.defvjp(_stratified_score_pair_fwd,
+                              _stratified_score_pair_bwd)
+
+
 def sample_negatives_stratified(key: jax.Array, encoded_data: jax.Array,
                                 window_size: int, n_negative: int,
                                 pool: Optional[jax.Array] = None) -> jax.Array:
@@ -255,20 +368,8 @@ def sample_negatives_stratified(key: jax.Array, encoded_data: jax.Array,
     if pool is None:
         pool = encoded_data
     Bp, S, C = pool.shape
-    M = Bp * S
     N = n_negative
-    if M & (M - 1):
-        raise ValueError(
-            f"stratified sampling needs a power-of-two batch*seq frame "
-            f"count, got {Bp}x{S}={M}; use negativeSamplingMode=exact")
-    if N & (N - 1) or N > M:
-        raise ValueError(
-            f"stratified sampling needs a power-of-two negativeSamplingExt"
-            f" <= batch*seq ({M}), got {N}; use negativeSamplingMode=exact")
-    if B * window_size > M:
-        raise ValueError("anchor slots exceed the sampling domain")
-    g = M // N
-    nbits = M.bit_length() - 1
+    M, g, nbits = _stratified_domain_check(Bp, S, N, B, window_size)
     keys = jax.random.bits(key, (ROUNDS,), dtype=jnp.uint32)
     s = jnp.arange(B * window_size, dtype=jnp.uint32)[:, None]
     n = jnp.arange(N, dtype=jnp.uint32)[None, :]
@@ -277,6 +378,35 @@ def sample_negatives_stratified(key: jax.Array, encoded_data: jax.Array,
     inv = feistel_inverse(jnp.arange(M, dtype=jnp.uint32), keys, nbits)
     return _windowed_permutation_gather(pool.reshape(M, C), idx, inv,
                                         B, window_size, n_negative)
+
+
+def _info_nce_reduce(pos_score: jax.Array, neg_score: jax.Array,
+                     n_valid: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-step CE (positive = class 0) and argmax accuracy
+    (criterion.py:248-254) over flat anchor rows.
+
+    pos_score: (K, R); neg_score: (K, R, N).  Rows past ``n_valid`` are
+    padding (the fused stratified path pads anchors to the permutation
+    domain M) and are masked out of both means.  The CE is
+    pos - logsumexp over {pos} u negatives — the full log-probability
+    tensor never materializes."""
+    f32 = jnp.float32
+    mx = jnp.max(neg_score, axis=2)                             # (K, R)
+    m = jnp.maximum(mx, pos_score)
+    lse = m + jnp.log(
+        jnp.sum(jnp.exp(neg_score - m[..., None]), axis=2)
+        + jnp.exp(pos_score - m))
+    ce = pos_score - lse
+    # argmax == 0 semantics: ties resolve to the positive (index 0).
+    correct = (pos_score >= mx).astype(f32)
+    R = pos_score.shape[1]
+    if R != n_valid:
+        mask = (jnp.arange(R) < n_valid).astype(f32)
+        ce = ce * mask
+        correct = correct * mask
+    losses = -jnp.sum(ce, axis=1) / n_valid                     # (K,)
+    acc = jnp.sum(correct, axis=1) / n_valid                    # (K,)
+    return losses, acc
 
 
 def stack_positives(encoded_data: jax.Array, n_predicts: int,
@@ -383,14 +513,6 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                                           axis=0, tiled=True)
             except NameError:
                 pool = None  # axis unbound: init / single-process eval
-        neg = sampler(key, encoded_data, W,
-                      self.negative_sampling_ext,
-                      pool=pool)                             # (B,W,N,C)
-        if self.stop_grad_negatives:
-            # Opt-in objective change: drops the repulsion gradient through
-            # negative encodings; kills the ~500k-row scatter-add in the
-            # backward (measured ~half the train step on v5e).
-            neg = jax.lax.stop_gradient(neg)
         pos = stack_positives(encoded_data, K, W)            # (K,B,W,C)
 
         if self.speaker_embedding > 0:
@@ -405,13 +527,40 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         # score = mean over channels of pred*candidate (criterion.py:116).
         # Inputs stay in their compute dtype (bf16 halves the HBM traffic of
         # the gathered negatives); the MXU accumulates in f32; the custom
-        # VJP keeps the backward's cotangents bf16 (see _score_pair).
-        # Layout: candidates MINOR — neg_score (K,B,W,N) keeps the softmax /
+        # VJPs keep the backward's cotangents bf16 (see _score_pair).
+        # Layout: candidates MINOR — neg_score (..., N) keeps the softmax /
         # max reductions on the fast (lane) axis; the reference's
         # (K,B,1+N,W) orientation put them on a strided axis (measured
         # ~1.5 ms/step of select/copy fusions, docs/PERFORMANCE.md).
+        if (self.sampling_mode == "stratified"
+                and not self.stop_grad_negatives and pool is None):
+            # Fused sample+score: the (B, W, N, C) negatives tensor and
+            # the rotation gather never materialize in either direction
+            # (see _stratified_score_pair).  The materialized sampler
+            # below stays as the path for the global pool (whose padded
+            # anchor domain would waste world_size x FLOPs) and for
+            # stop_grad_negatives (where autodiff DCEs the dneg matmul).
+            Ce = encoded_data.shape[-1]
+            M, g, nbits = _stratified_domain_check(
+                B, S, self.negative_sampling_ext, B, W)
+            keys = jax.random.bits(key, (ROUNDS,), dtype=jnp.uint32)
+            ar = jnp.arange(M, dtype=jnp.uint32)
+            perm = feistel_permute(ar, keys, nbits)
+            inv = feistel_inverse(ar, keys, nbits)
+            pos_score, neg_score = _stratified_score_pair(
+                preds, pos, encoded_data.reshape(M, Ce), perm, inv, g,
+                1.0 / C)                     # (K, M), (K, M, N) padded
+            return _info_nce_reduce(pos_score, neg_score, B * W)
+
+        neg = sampler(key, encoded_data, W,
+                      self.negative_sampling_ext,
+                      pool=pool)                             # (B,W,N,C)
         if self.stop_grad_negatives:
-            # plain einsums so autodiff can DCE the dneg matmul entirely
+            # Opt-in objective change: drops the repulsion gradient through
+            # negative encodings; kills the ~500k-row scatter-add in the
+            # backward (measured ~half the train step on v5e).  Plain
+            # einsums so autodiff can DCE the dneg matmul entirely.
+            neg = jax.lax.stop_gradient(neg)
             pos_score = jnp.einsum("kbwc,kbwc->kbw", preds, pos,
                                    preferred_element_type=f32) / C
             neg_score = jnp.einsum("kbwc,bwnc->kbwn", preds, neg,
@@ -419,15 +568,7 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         else:
             pos_score, neg_score = _score_pair(preds, pos, neg, 1.0 / C)
 
-        # CE with the positive as class 0 (criterion.py:248-254), computed
-        # as pos - logsumexp over {pos} u negatives — never materializes the
-        # full log-probability tensor.
-        m = jnp.maximum(jnp.max(neg_score, axis=3), pos_score)  # (K,B,W)
-        lse = m + jnp.log(
-            jnp.sum(jnp.exp(neg_score - m[..., None]), axis=3)
-            + jnp.exp(pos_score - m))
-        losses = -jnp.mean(pos_score - lse, axis=(1, 2))         # (K,)
-        # argmax == 0 semantics: ties resolve to the positive (index 0).
-        acc = jnp.mean((pos_score >= jnp.max(neg_score, axis=3)).astype(f32),
-                       axis=(1, 2))                               # (K,)
-        return losses, acc
+        BW = B * W
+        N = neg_score.shape[-1]
+        return _info_nce_reduce(pos_score.reshape(K, BW),
+                                neg_score.reshape(K, BW, N), BW)

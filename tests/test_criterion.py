@@ -450,3 +450,115 @@ def test_infonce_stratified_mode(rng):
     dz = jax.grad(loss)(z)
     assert float(jnp.abs(dz).max()) > 0
     assert np.isfinite(np.asarray(dz)).all()
+
+
+def test_stratified_fused_scoring_matches_materialized(rng):
+    """The fused sample+score path (`_stratified_score_pair` + masked
+    reduce) equals materializing `sample_negatives_stratified` and
+    scoring densely — same loss, same accuracy, same gradients wrt both
+    the encodings and the predictions.  (The fused path drops the
+    per-anchor rotation (q+n)%Q, a bijection of the candidate axis the
+    loss only reduces over.)"""
+    from cpc_audio_tpu.ops.feistel import (ROUNDS, feistel_inverse,
+                                           feistel_permute)
+    from cpc_audio_tpu.criterion.infonce import (_info_nce_reduce,
+                                                 _score_pair,
+                                                 _stratified_score_pair,
+                                                 sample_negatives_stratified)
+
+    B, S, C, N, K = 4, 16, 8, 8, 3
+    W = S - K
+    M = B * S
+    g = M // N
+    nbits = M.bit_length() - 1
+    key = jax.random.PRNGKey(11)
+    z = jax.random.normal(rng, (B, S, C))
+    preds = jax.random.normal(jax.random.PRNGKey(1), (K, B, W, C))
+
+    def fused(zz, pp):
+        pos = stack_positives(zz, K, W)
+        keys = jax.random.bits(key, (ROUNDS,), dtype=jnp.uint32)
+        ar = jnp.arange(M, dtype=jnp.uint32)
+        perm = feistel_permute(ar, keys, nbits)
+        inv = feistel_inverse(ar, keys, nbits)
+        ps, ns = _stratified_score_pair(pp, pos, zz.reshape(M, C),
+                                        perm, inv, g, 1.0 / C)
+        return _info_nce_reduce(ps, ns, B * W)
+
+    def dense(zz, pp):
+        pos = stack_positives(zz, K, W)
+        neg = sample_negatives_stratified(key, zz, W, N)
+        ps, ns = _score_pair(pp, pos, neg, 1.0 / C)
+        return _info_nce_reduce(ps.reshape(K, B * W),
+                                ns.reshape(K, B * W, N), B * W)
+
+    lf, af = fused(z, preds)
+    ld, ad = dense(z, preds)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ld), rtol=1e-5)
+    # acc can flip on EXACT ties (the positive frame drawn as its own
+    # negative scores identically; the two contraction orders differ by
+    # 1 ulp) — allow up to 2 tie flips out of B*W anchors per step.
+    np.testing.assert_allclose(np.asarray(af), np.asarray(ad),
+                               atol=2.0 / (B * W) + 1e-7)
+
+    # the strong property: per-anchor candidate score MULTISETS agree
+    keys = jax.random.bits(key, (ROUNDS,), dtype=jnp.uint32)
+    ar = jnp.arange(M, dtype=jnp.uint32)
+    perm = feistel_permute(ar, keys, nbits)
+    inv = feistel_inverse(ar, keys, nbits)
+    pos = stack_positives(z, K, W)
+    _, nsf = _stratified_score_pair(preds, pos, z.reshape(M, C),
+                                    perm, inv, g, 1.0 / C)
+    neg = sample_negatives_stratified(key, z, W, N)
+    _, nsd = _score_pair(preds, pos, neg, 1.0 / C)
+    sf = np.sort(np.asarray(nsf)[:, :B * W], axis=-1)
+    sd = np.sort(np.asarray(nsd).reshape(K, B * W, N), axis=-1)
+    np.testing.assert_allclose(sf, sd, atol=1e-6)
+
+    gf = jax.grad(lambda zz, pp: jnp.sum(fused(zz, pp)[0]),
+                  argnums=(0, 1))(z, preds)
+    gd = jax.grad(lambda zz, pp: jnp.sum(dense(zz, pp)[0]),
+                  argnums=(0, 1))(z, preds)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gd[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gd[1]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_stratified_fused_vjp_matches_autodiff(rng):
+    """`_stratified_score_pair`'s hand-written backward agrees with
+    autodiff of its own forward (the bf16 cast is a no-op in f32)."""
+    from cpc_audio_tpu.ops.feistel import (ROUNDS, feistel_inverse,
+                                           feistel_permute)
+    from cpc_audio_tpu.criterion.infonce import (_stratified_scores_impl,
+                                                 _stratified_score_pair)
+
+    B, S, C, N, K = 2, 32, 8, 16, 3
+    W = S - K
+    M = B * S
+    g = M // N
+    nbits = M.bit_length() - 1
+    keys = jax.random.bits(jax.random.PRNGKey(5), (ROUNDS,),
+                           dtype=jnp.uint32)
+    ar = jnp.arange(M, dtype=jnp.uint32)
+    perm = feistel_permute(ar, keys, nbits)
+    inv = feistel_inverse(ar, keys, nbits)
+    z = jax.random.normal(rng, (M, C))
+    preds = jax.random.normal(jax.random.PRNGKey(1), (K, B, W, C))
+    pos = jax.random.normal(jax.random.PRNGKey(2), (K, B, W, C))
+
+    def f_cust(pp, po, zz):
+        ps, ns = _stratified_score_pair(pp, po, zz, perm, inv, g, 1.0 / C)
+        return jnp.sum(jnp.sin(ps)) + jnp.sum(jnp.cos(ns))
+
+    def f_ref(pp, po, zz):
+        ps, ns, _ = _stratified_scores_impl(pp, po, zz, perm, g, 1.0 / C)
+        return jnp.sum(jnp.sin(ps)) + jnp.sum(jnp.cos(ns))
+
+    np.testing.assert_allclose(float(f_cust(preds, pos, z)),
+                               float(f_ref(preds, pos, z)), rtol=1e-6)
+    gc = jax.grad(f_cust, argnums=(0, 1, 2))(preds, pos, z)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(preds, pos, z)
+    for a, b in zip(gc, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

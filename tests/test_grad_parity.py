@@ -131,7 +131,8 @@ def _patched_jax_sampler(indices):
     """sample_negatives drop-in reading the same (B, N, W) indices."""
     state = {"i": 0}
 
-    def sample(key, encoded, window_size, n_negative):
+    def sample(key, encoded, window_size, n_negative, pool=None):
+        assert pool is None  # injected-negatives path is device-scope only
         bsz, S, C = encoded.shape
         batch_idx, seq_off = indices[state["i"] % len(indices)]
         state["i"] += 1
