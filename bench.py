@@ -70,6 +70,7 @@ def main():
         dim_output_encoder=config.hiddenEncoder,
         negative_sampling_ext=config.negativeSamplingExt,
         rnn_mode=config.rnnMode,
+        sampling_mode=config.negativeSamplingMode,
         size_input_seq=config.sizeWindow // 160)
     optimizer = make_optimizer(config.beta1, config.beta2, config.epsilon)
     mesh = get_mesh(n_devices)

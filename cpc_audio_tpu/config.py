@@ -57,7 +57,7 @@ class CPCConfig:
     # reference semantics).
     compute_dtype: str = "float32"      # float32 | bfloat16 : activation dtype
     negative_sampling_scope: str = "device"  # device (reference per-shard) | global
-    negativeSamplingMode: str = "exact"  # exact (reference) | stratified | rolled
+    negativeSamplingMode: str = "auto"  # auto | exact (reference) | stratified | rolled
     stopGradNegatives: bool = False      # fast objective variant (see docs)
 
     def replace(self, **kw) -> "CPCConfig":
@@ -142,10 +142,17 @@ def add_cpc_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "steps; changes the objective — see PERFORMANCE.md)")
     g.add_argument("--negativeSamplingMode", type=str,
                    default=d.negativeSamplingMode,
-                   choices=["exact", "rolled", "stratified"],
-                   help="stratified: permutation-stratified negatives "
-                        "(same per-window marginals, scatter-free "
-                        "backward; needs power-of-two batch*seq); "
+                   choices=["auto", "exact", "rolled", "stratified"],
+                   help="auto (default): stratified when batch*seq and "
+                        "negativeSamplingExt are powers of two (and "
+                        "scope is device), exact otherwise; "
+                        "stratified: permutation-stratified negatives — "
+                        "same per-window marginals, no duplicate "
+                        "negatives per anchor, fused scatter-free "
+                        "scoring (~1.8x faster steps, validated "
+                        "metric-neutral-or-better at fixture scale — "
+                        "docs/PERFORMANCE.md round 4); "
+                        "exact: the reference's iid sampler; "
                         "rolled: DEPRECATED test hook — measured both "
                         "slower than exact AND learning-degrading "
                         "(docs/PERFORMANCE.md round 3); no known use")

@@ -211,6 +211,16 @@ _windowed_permutation_gather.defvjp(_windowed_permutation_gather_fwd,
                                     _windowed_permutation_gather_bwd)
 
 
+def _stratified_shapes_ok(Bp: int, S: int, n_negative: int,
+                          B: int, window_size: int) -> bool:
+    """True iff the stratified sampler's domain constraints hold (used by
+    sampling_mode='auto' to fall back to 'exact' without raising)."""
+    M = Bp * S
+    N = n_negative
+    return (M & (M - 1) == 0 and N & (N - 1) == 0 and N <= M
+            and B * window_size <= M)
+
+
 def _stratified_domain_check(Bp: int, S: int, n_negative: int,
                              B: int, window_size: int):
     """Shared shape validation for the stratified sampler/scorer.
@@ -454,7 +464,11 @@ class CPCUnsupervisedCriterion(BaseCriterion):
     speaker_embedding: int = 0
     n_speakers: int = 0
     size_input_seq: int = 128
-    sampling_mode: str = "exact"          # exact (reference) | stratified | rolled (deprecated)
+    # exact (reference semantics, the library-level default) | stratified
+    # (scatter-free fused path; needs power-of-two batch*seq and
+    # negatives) | auto (stratified when shapes + scope allow, else
+    # exact — the CLI/config default) | rolled (deprecated test hook)
+    sampling_mode: str = "exact"
     stop_grad_negatives: bool = False     # opt-in: no grads through negatives
     # 'device' (reference per-shard semantics, train.py:372-375) or
     # 'global': negatives drawn from the ALL-GATHERED cross-device batch
@@ -494,11 +508,11 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         samplers = {"exact": sample_negatives,
                     "rolled": sample_negatives_rolled,
                     "stratified": sample_negatives_stratified}
-        if self.sampling_mode not in samplers:
+        mode = self.sampling_mode
+        if mode not in samplers and mode != "auto":
             raise ValueError(
                 f"unknown sampling_mode {self.sampling_mode!r}; "
-                f"expected one of {sorted(samplers)}")
-        sampler = samplers[self.sampling_mode]
+                f"expected one of {sorted(samplers) + ['auto']}")
         if self.negative_sampling_scope not in ("device", "global"):
             raise ValueError(
                 f"unknown negative_sampling_scope "
@@ -532,7 +546,17 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         # max reductions on the fast (lane) axis; the reference's
         # (K,B,1+N,W) orientation put them on a strided axis (measured
         # ~1.5 ms/step of select/copy fusions, docs/PERFORMANCE.md).
-        if (self.sampling_mode == "stratified"
+        if mode == "auto":
+            # Config-level default: the fused stratified path when shapes
+            # and scope allow (validated metric-neutral-or-better and
+            # ~1.8x faster at the bench config — docs/PERFORMANCE.md
+            # round 4), the reference's exact iid sampler otherwise.
+            mode = ("stratified"
+                    if (pool is None and not self.stop_grad_negatives
+                        and _stratified_shapes_ok(
+                            B, S, self.negative_sampling_ext, B, W))
+                    else "exact")
+        if (mode == "stratified"
                 and not self.stop_grad_negatives and pool is None):
             # Fused sample+score: the (B, W, N, C) negatives tensor and
             # the rotation gather never materialize in either direction
@@ -552,9 +576,9 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                 1.0 / C)                     # (K, M), (K, M, N) padded
             return _info_nce_reduce(pos_score, neg_score, B * W)
 
-        neg = sampler(key, encoded_data, W,
-                      self.negative_sampling_ext,
-                      pool=pool)                             # (B,W,N,C)
+        neg = samplers[mode](key, encoded_data, W,
+                             self.negative_sampling_ext,
+                             pool=pool)                      # (B,W,N,C)
         if self.stop_grad_negatives:
             # Opt-in objective change: drops the repulsion gradient through
             # negative encodings; kills the ~500k-row scatter-add in the

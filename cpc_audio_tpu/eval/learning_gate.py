@@ -63,12 +63,19 @@ def parse_args(argv):
     p.add_argument("--rnnMode", default="linear")
     p.add_argument("--arMode", default="GRU")
     p.add_argument("--batchSizeGPU", type=int, default=8)
-    p.add_argument("--random_seed", type=int, default=0)
-    p.add_argument("--negativeSamplingMode", default="exact",
-                   choices=["exact", "stratified", "rolled"],
-                   help="objective variant to gate (stratified needs a "
+    # Seed 1, not 0: the 91-window fixture db has a documented seed-0
+    # optimization basin (a deterministic plateau-at-chance attractor
+    # that ANY bit-level change in the step can tip into or out of —
+    # docs/PERFORMANCE.md round 3/4); fixture-scale harnesses avoid it
+    # (perf/validate_objectives.py likewise defaults to seed 1).
+    p.add_argument("--random_seed", type=int, default=1)
+    p.add_argument("--negativeSamplingMode", default="auto",
+                   choices=["auto", "exact", "stratified", "rolled"],
+                   help="objective variant to gate; matches the shipped "
+                        "config default 'auto' (stratified needs a "
                         "power-of-two batch*frames, e.g. --sizeWindow 2560 "
-                        "with --batchSizeGPU 8)")
+                        "with --batchSizeGPU 8; at this gate's default "
+                        "shapes auto resolves to exact)")
     p.add_argument("--cpc_extra", nargs="*", default=[],
                    help="extra flags forwarded to the CPC trainer "
                         "(e.g. --cpc_extra --stopGradNegatives)")

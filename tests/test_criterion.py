@@ -562,3 +562,27 @@ def test_stratified_fused_vjp_matches_autodiff(rng):
     for a, b in zip(gc, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_infonce_auto_mode_resolution(rng):
+    """'auto' resolves to the fused stratified path on power-of-two
+    shapes (same loss as explicit 'stratified') and falls back to the
+    reference's exact sampler otherwise (same loss as explicit 'exact')."""
+    def run(mode, B, S, dim=8, N=8):
+        crit = _make_criterion(N=N, S=S, sampling_mode=mode)
+        c = jax.random.normal(rng, (B, S, dim))
+        z = jax.random.normal(jax.random.PRNGKey(1), (B, S, dim))
+        variables = crit.init({"params": jax.random.PRNGKey(0),
+                               "sampling": jax.random.PRNGKey(2)}, c, z, None)
+        return crit.apply(variables, c, z, None,
+                          rngs={"sampling": jax.random.PRNGKey(3)})
+
+    # B*S = 64 (pow2), N = 8 (pow2): auto == stratified
+    la, _ = run("auto", B=4, S=16)
+    ls, _ = run("stratified", B=4, S=16)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(ls), rtol=1e-6)
+
+    # B*S = 48 (not pow2): auto == exact (stratified would raise)
+    la2, _ = run("auto", B=3, S=16)
+    le2, _ = run("exact", B=3, S=16)
+    np.testing.assert_allclose(np.asarray(la2), np.asarray(le2), rtol=1e-6)
