@@ -109,6 +109,41 @@ def test_supervised_phone_training(tmp_path):
         < np.mean(logs["locLoss_train"][0])
 
 
+def test_auto_default_trains_stratified_under_shard_map(tmp_path,
+                                                        monkeypatch):
+    """The shipped default (--negativeSamplingMode auto) resolves to the
+    FUSED stratified objective at power-of-two shapes inside the 8-device
+    shard_map train step, and training behaves (finite, decreasing loss).
+
+    Guards the default fast path end-to-end in CI: the other integration
+    tests use sizeWindow=3200 (20 frames -> batch*frames not a power of
+    two), where auto falls back to the reference's exact sampler."""
+    from cpc_audio_tpu.criterion import infonce
+
+    calls = []
+    orig = infonce._stratified_score_pair
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(infonce, "_stratified_score_pair", spy)
+    out = str(tmp_path / "ckpt_auto")
+    # per-device batch 4 x 16 frames = 64 (pow2), 8 negatives (pow2)
+    args = [a for a in SMALL]
+    args[args.index("--sizeWindow") + 1] = "2560"
+    args[args.index("--batchSizeGPU") + 1] = "4"
+    rc = _run_main(args + ["--pathDB", DB, "--nEpoch", "2",
+                           "--save_step", "1", "--pathCheckpoint", out])
+    assert rc == 0
+    assert calls, "auto did not route through the fused stratified path"
+    with open(os.path.join(out, "checkpoint_logs.json")) as f:
+        logs = json.load(f)
+    assert np.all(np.isfinite(np.asarray(logs["locLoss_train"])))
+    assert np.mean(logs["locLoss_train"][-1]) \
+        < np.mean(logs["locLoss_train"][0])
+
+
 def test_sequential_sampling_hidden_carry(tmp_path):
     """samplingType=sequential trains with hidden state carried across
     batches (reference keepHidden, feature_loader.py:150)."""
