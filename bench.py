@@ -58,7 +58,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     n_devices = len(jax.devices())
-    per_chip_batch = 4 if smoke else 32
+    # CPC_BENCH_BATCH: per-chip batch override for scaling probes; the
+    # recorded headline stays the default B=32 operating point.
+    per_chip_batch = 4 if smoke else int(
+        os.environ.get("CPC_BENCH_BATCH", "32"))
     batch_size = per_chip_batch * n_devices
 
     config = CPCConfig(compute_dtype="bfloat16") if not smoke else \
