@@ -117,6 +117,12 @@ def parse_args(argv):
     p.add_argument("--strict", action="store_true")
     p.add_argument("--file_extension", type=str, default=".wav")
     p.add_argument("--get_encoded", action="store_true")
+    p.add_argument("--batch_lanes", type=int, default=8,
+                   help="extract features for N files at once (lane-packed "
+                        "batches, one dispatch per chunk batch — "
+                        "feature_loader.build_features_batched). 1 restores "
+                        "the reference's per-file extraction. Ignored with "
+                        "--strict (per-file only).")
 
     p = subparsers.add_parser("from_pre_computed")
     update_base_parser(p)
@@ -143,6 +149,7 @@ def main(argv=None) -> int:
                                  max_size_seq=args.max_size_seq,
                                  seq_norm=args.seq_norm)
         path_dataset = args.path_dataset
+        batch_lanes = 1 if args.strict else max(1, args.batch_lanes)
     elif args.load == "from_pre_computed":
         def feature_function(x):
             return np.load(x)
@@ -160,6 +167,23 @@ def main(argv=None) -> int:
                  os.path.join(path_dataset, x)) for _, x in seq_list]
     if args.debug:
         seq_list = seq_list[:1000]
+
+    if args.load == "from_checkpoint" and batch_lanes > 1:
+        # Lane-packed batched extraction (one dispatch per batch of
+        # chunks instead of per B=1 chunk); only files the item file
+        # references are extracted, matching ABXFeatureLoader's filter.
+        files_data, _, _, _ = abx_it.load_item_file(args.path_item_file)
+        wanted = [(fid, p) for fid, p in seq_list if fid in files_data]
+        print(f"Batched feature extraction: {len(wanted)} files, "
+              f"{batch_lanes} lanes")
+        from ..feature_loader import build_features_batched
+        cache = {}
+        for i, feats in build_features_batched(
+                feature_maker, [p for _, p in wanted],
+                n_lanes=batch_lanes, max_size_seq=args.max_size_seq,
+                seq_norm=args.seq_norm):
+            cache[wanted[i][1]] = feats
+        feature_function = cache.__getitem__
 
     scores = abx(feature_function, args.path_item_file, seq_list, "cosine",
                  step_feature, modes, seq_norm=getattr(args, "seq_norm",

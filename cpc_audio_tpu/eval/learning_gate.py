@@ -73,9 +73,12 @@ def parse_args(argv):
                    choices=["auto", "exact", "stratified", "rolled"],
                    help="objective variant to gate; matches the shipped "
                         "config default 'auto' (stratified needs a "
-                        "power-of-two batch*frames, e.g. --sizeWindow 2560 "
-                        "with --batchSizeGPU 8; at this gate's default "
-                        "shapes auto resolves to exact)")
+                        "power-of-two batch*frames: use --sizeWindow 5120 "
+                        "with --batchSizeGPU 8 — the validated config where "
+                        "both objectives pass; 2560's 16-frame windows are "
+                        "too short for the probe to discriminate AT ALL, "
+                        "docs/PERFORMANCE.md round 4. At this gate's "
+                        "default shapes auto resolves to exact)")
     p.add_argument("--cpc_extra", nargs="*", default=[],
                    help="extra flags forwarded to the CPC trainer "
                         "(e.g. --cpc_extra --stopGradNegatives)")

@@ -322,6 +322,132 @@ def build_feature(feature_maker, seq_path: str, strict: bool = False,
     return np.concatenate(out, axis=1)
 
 
+def build_features_batched(feature_maker: "FeatureModule",
+                           seq_paths: Sequence[str], n_lanes: int = 8,
+                           max_size_seq: int = 64000,
+                           seq_norm: bool = False,
+                           decode_workers: int = 4):
+    """Batched multi-file feature extraction (serving path).
+
+    The reference extracts eval features strictly one file at a time
+    (eval/ABX.py:174-177 -> feature_loader.py:228-269: B=1 chunks, one
+    dispatch + one host readback per chunk).  On an accelerator that
+    leaves most of the chip idle and pays per-chunk dispatch latency.
+    This generator packs ``n_lanes`` files side by side into fixed-shape
+    ``(n_lanes, 1, max_size_seq)`` batches — one compiled program, one
+    dispatch and one readback per *batch* of chunks — while preserving
+    the per-file semantics of :func:`build_feature` exactly:
+
+      * chunks of one file stay in one lane, in order, so recurrent
+        hidden state carries across a file's chunks (when the module
+        was built with ``keep_hidden=True``, reference ABX.py:169-170)
+        and is zeroed at every file boundary (per-lane reset mask —
+        the carried state never leaks between files);
+      * the tail chunk is zero-padded to ``max_size_seq`` and only its
+        valid frames kept (``build_feature``'s ``pad_tail=True`` path);
+      * ``seq_norm`` applies per chunk over its valid frames, as the
+        per-file path does (feature_loader.py:221-225 semantics).
+
+    Lanes that run out of files are fed zeros and their output dropped.
+    Audio decode runs ahead on a thread pool (the native decoder
+    releases the GIL).  ``strict`` chunking is not supported here —
+    use :func:`build_feature` for that mode.
+
+    Yields ``(index, features)`` with ``features`` shaped
+    ``(1, n_frames, C)``, in file-completion order (NOT input order);
+    ``index`` is the position in ``seq_paths``.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    model = feature_maker.model
+    variables = feature_maker.variables
+    get_encoded = feature_maker.get_encoded
+    carry_hidden = feature_maker.keep_hidden
+    ds = feature_maker.get_downsampling_factor()
+
+    def fwd(variables, batch, hidden, keep):
+        # keep: (n_lanes,) 0/1 — zero a lane's carried hidden at file
+        # starts (and every chunk when the module does not keep hidden).
+        hidden = jax.tree_util.tree_map(
+            lambda h: h * keep[:, None].astype(h.dtype), hidden)
+        c, z, _, h = model.apply(variables, batch, None, hidden,
+                                 train=False)
+        return (z if get_encoded else c).astype(jnp.float32), h
+
+    fwd = jax.jit(fwd)
+    hidden = (model.zero_state(n_lanes)
+              if hasattr(model, "zero_state") else None)
+
+    n_total = len(seq_paths)
+    pool = ThreadPoolExecutor(max_workers=decode_workers)
+    try:
+        pending = [(i, pool.submit(decode_file, p))
+                   for i, p in enumerate(seq_paths[:2 * n_lanes])]
+        next_submit = len(pending)
+
+        # per-lane state: (file index, decoded waveform, sample cursor,
+        # accumulated per-chunk frame arrays) or None when drained
+        lanes: List[Any] = [None] * n_lanes
+
+        def refill(lane):
+            nonlocal next_submit
+            if not pending:
+                return False
+            idx, fut = pending.pop(0)
+            if next_submit < n_total:
+                pending.append((next_submit,
+                                pool.submit(decode_file,
+                                            seq_paths[next_submit])))
+                next_submit += 1
+            lanes[lane] = [idx, np.asarray(fut.result(), np.float32),
+                           0, []]
+            return True
+
+        n_done = 0
+        while n_done < n_total:
+            batch = np.zeros((n_lanes, 1, max_size_seq), np.float32)
+            keep = np.ones((n_lanes,), np.float32)
+            valid = [0] * n_lanes
+            for lane in range(n_lanes):
+                if lanes[lane] is None and refill(lane):
+                    keep[lane] = 0.0
+                st = lanes[lane]
+                if st is None:
+                    keep[lane] = 0.0  # dead lane: zeros in, output dropped
+                    continue
+                if st[2] == 0:
+                    keep[lane] = 0.0  # first chunk of a file
+                chunk = st[1][st[2]:st[2] + max_size_seq]
+                batch[lane, 0, :len(chunk)] = chunk
+                valid[lane] = len(chunk) // ds
+            if not carry_hidden:
+                keep[:] = 0.0
+
+            feats, hidden = fwd(variables, jnp.asarray(batch), hidden,
+                                jnp.asarray(keep))
+            feats = np.asarray(feats)  # ONE readback per batch of chunks
+
+            for lane in range(n_lanes):
+                st = lanes[lane]
+                if st is None:
+                    continue
+                f = feats[lane:lane + 1, :valid[lane]]
+                if seq_norm:
+                    mean = f.mean(axis=1, keepdims=True)
+                    var = f.var(axis=1, keepdims=True, ddof=1)
+                    f = (f - mean) / np.sqrt(var + 1e-8)
+                st[3].append(f)
+                st[2] += max_size_seq
+                if st[2] >= len(st[1]):
+                    out = (np.concatenate(st[3], axis=1) if st[3] else
+                           np.zeros((1, 0, feats.shape[-1]), np.float32))
+                    yield st[0], out
+                    n_done += 1
+                    lanes[lane] = None
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
+
+
 def load_supervised_criterion(path_checkpoint: str):
     """Rebuild + load a phone/CTC probe checkpoint
     (feature_loader.py:83-97).  Returns (criterion, variables, n_phones)."""
