@@ -123,6 +123,12 @@ def parse_args(argv):
                         "feature_loader.build_features_batched). 1 restores "
                         "the reference's per-file extraction. Ignored with "
                         "--strict (per-file only).")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="override the checkpoint's activation compute dtype "
+                        "for extraction (bfloat16 ~doubles TPU MXU "
+                        "throughput; features are returned f32 either way). "
+                        "Default: the checkpoint's own setting.")
 
     p = subparsers.add_parser("from_pre_computed")
     update_base_parser(p)
@@ -138,7 +144,8 @@ def parse_args(argv):
 def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
     if args.load == "from_checkpoint":
-        model, variables, _, _ = load_model([args.path_checkpoint])
+        model, variables, _, _ = load_model([args.path_checkpoint],
+                                            compute_dtype=args.compute_dtype)
         # hidden carries across chunks of a file (reference ABX.py:169-170)
         feature_maker = FeatureModule(model, variables,
                                       get_encoded=args.get_encoded,

@@ -104,6 +104,12 @@ def main(argv=None) -> int:
                              "1 restores per-file extraction. Ignored with "
                              "--strict/--seqNorm (strict chunking is "
                              "per-file) and with --addCriterion.")
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="override the checkpoint's activation compute "
+                             "dtype (bfloat16 ~doubles TPU MXU throughput; "
+                             "outputs stay f32). Default: the checkpoint's "
+                             "own setting.")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     os.makedirs(args.pathOut, exist_ok=True)
@@ -116,7 +122,8 @@ def main(argv=None) -> int:
                                             extension=args.extension,
                                             load_cache=False)[0]]
 
-    model, variables, _, _ = load_model([args.pathCheckpoint])
+    model, variables, _, _ = load_model([args.pathCheckpoint],
+                                        compute_dtype=args.compute_dtype)
     step_size = 160 / 16000
     print(f"stepSize : {step_size}")
     feature_maker = FeatureModule(model, variables,

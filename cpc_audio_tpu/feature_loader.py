@@ -59,11 +59,17 @@ def _load_single(path: str) -> Tuple[CPCConfig, dict, Any, Any]:
 
 
 def load_model(path_checkpoints: Sequence[str], load_state_dict: bool = True,
-               ) -> Tuple[Any, dict, int, int]:
+               compute_dtype: str = None) -> Tuple[Any, dict, int, int]:
     """Rebuild model(s) from checkpoints (feature_loader.py:156-190).
 
     Returns (model_module, variables, hidden_gar, hidden_encoder).
     Multiple paths -> ConcatenatedModel.
+
+    ``compute_dtype`` overrides the saved activation compute dtype for
+    inference (params stay as stored; f32 master weights cast per-op):
+    'bfloat16' roughly doubles MXU throughput on TPU for feature
+    extraction at a small numeric cost.  None keeps the checkpoint's own
+    setting (reference-parity default).
     """
     configs: List[CPCConfig] = []
     params_list: List[Any] = []
@@ -72,6 +78,8 @@ def load_model(path_checkpoints: Sequence[str], load_state_dict: bool = True,
 
     for path in path_checkpoints:
         config, raw_args, params, batch_stats = _load_single(path)
+        if compute_dtype is not None:
+            config = config.replace(compute_dtype=compute_dtype)
         load_chain = raw_args.get("load")
         do_load = load_chain and (
             len(load_chain) > 1
@@ -80,8 +88,9 @@ def load_model(path_checkpoints: Sequence[str], load_state_dict: bool = True,
         if do_load:
             # probe checkpoint wrapping a pretrained CPC: rebuild from the
             # chain, then load this checkpoint's weights over it
-            sub_model, sub_vars, hg, he = load_model(load_chain,
-                                                     load_state_dict=False)
+            sub_model, sub_vars, hg, he = load_model(
+                load_chain, load_state_dict=False,
+                compute_dtype=compute_dtype)
             if isinstance(sub_model, ConcatenatedModel):
                 raise NotImplementedError(
                     "nested concatenated checkpoints unsupported")

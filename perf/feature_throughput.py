@@ -33,6 +33,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from perf.sustained_epoch import DB, build_db  # noqa: E402
 
 
+def device_rate(model, variables, batch_size, max_size_seq, k1=4, k2=12):
+    """Device-bound inference rate (frames/s) at a given batch size:
+    slope between two chained run lengths (bench.py methodology — one
+    dispatch per run, forced readback, slope cancels RPC/transfer).
+
+    The chained forward carries the recurrent hidden state and perturbs
+    the input per iteration (x * (1 + i*1e-6)) so XLA cannot hoist the
+    loop body as loop-invariant (the constant-input microbench trap,
+    docs/PERFORMANCE.md round 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    ds = 160
+    frames = max_size_seq // ds
+    x = jnp.asarray(np.random.RandomState(0).randn(
+        batch_size, 1, max_size_seq).astype(np.float32))
+    hidden0 = (model.zero_state(batch_size)
+               if hasattr(model, "zero_state") else None)
+
+    @jax.jit
+    def run_k(k):
+        def body(i, carry):
+            acc, hidden = carry
+            c, _, _, hidden = model.apply(
+                variables, x * (1.0 + 1e-6 * i), None, hidden, train=False)
+            return acc + jnp.sum(c.astype(jnp.float32)), hidden
+        acc, _ = jax.lax.fori_loop(0, k, body, (jnp.zeros(()), hidden0))
+        return acc
+
+    _ = np.asarray(run_k(2))  # compile + warm
+    times = []
+    for k in (k1, k2):
+        t0 = time.perf_counter()
+        _ = np.asarray(run_k(k))
+        times.append(time.perf_counter() - t0)
+    sec_per_chunk = (times[1] - times[0]) / (k2 - k1)
+    return batch_size * frames / sec_per_chunk, sec_per_chunk
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n_files", type=int, default=24)
@@ -40,9 +79,12 @@ def main():
     p.add_argument("--max_size_seq", type=int, default=64000)
     p.add_argument("--hiddenEncoder", type=int, default=256)
     p.add_argument("--arMode", default="LSTM")
+    p.add_argument("--device_rate", action="store_true",
+                   help="measure the device-bound chained-forward rate at "
+                        "B=1 vs B=lanes instead of the wall-clock "
+                        "end-to-end paths (separates the framework from "
+                        "the remote tunnel's transfer behavior)")
     args = p.parse_args()
-
-    build_db()
 
     import jax
     from cpc_audio_tpu.config import CPCConfig
@@ -51,14 +93,29 @@ def main():
                                               build_features_batched)
     from cpc_audio_tpu.models import build_model
 
-    seqs, _ = find_all_seqs(DB, extension=".wav", load_cache=False)
-    paths = [os.path.join(DB, p) for _, p in seqs][:args.n_files]
-
     config = CPCConfig(hiddenEncoder=args.hiddenEncoder,
                        hiddenGar=args.hiddenEncoder, arMode=args.arMode)
     model = build_model(config)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            np.zeros((2, 1, args.max_size_seq), np.float32))
+
+    if args.device_rate:
+        fps1, spc1 = device_rate(model, variables, 1, args.max_size_seq)
+        fpsN, spcN = device_rate(model, variables, args.lanes,
+                                 args.max_size_seq)
+        print(json.dumps({
+            "metric": "feature_extraction_device_frames_per_sec",
+            "b1": {"frames_per_sec": round(fps1, 1),
+                   "ms_per_chunk": round(spc1 * 1e3, 3)},
+            "lanes": {"n": args.lanes, "frames_per_sec": round(fpsN, 1),
+                      "ms_per_chunk_batch": round(spcN * 1e3, 3)},
+            "batched_speedup_device": round(fpsN / fps1, 3),
+        }))
+        return
+
+    build_db()
+    seqs, _ = find_all_seqs(DB, extension=".wav", load_cache=False)
+    paths = [os.path.join(DB, p) for _, p in seqs][:args.n_files]
     fm = FeatureModule(model, variables, keep_hidden=True)
 
     # warm both compiled shapes (B=1 and B=lanes) outside the timing

@@ -133,3 +133,24 @@ def test_adjust_sample_rate_from_mp3(tmp_path):
     off = int(np.argmax(corr))
     c = np.corrcoef(data[off:off + 8000], ref[:8000])[0, 1]
     assert c > 0.95, (off, c)
+
+
+def test_load_model_compute_dtype_override(cpc_checkpoint):
+    """load_model(compute_dtype=...) switches the activation compute path
+    (bf16 serving) while keeping the public f32 feature contract."""
+    from cpc_audio_tpu.feature_loader import (FeatureModule, build_feature,
+                                              load_model)
+    path = os.path.join(DB, "2911", "12359", "2911-12359-0007.flac")
+    m32, v32, _, _ = load_model([cpc_checkpoint])
+    mbf, vbf, _, _ = load_model([cpc_checkpoint], compute_dtype="bfloat16")
+    f32 = np.asarray(build_feature(FeatureModule(m32, v32), path,
+                                   max_size_seq=32000))
+    fbf = np.asarray(build_feature(FeatureModule(mbf, vbf), path,
+                                   max_size_seq=32000))
+    assert fbf.dtype == np.float32
+    assert fbf.shape == f32.shape
+    # bf16 actually engaged (not a silent no-op)...
+    assert not np.array_equal(f32, fbf)
+    # ...and stays numerically close to the f32 path
+    rel = np.abs(f32 - fbf).max() / (np.abs(f32).max() + 1e-9)
+    assert rel < 0.15, rel
