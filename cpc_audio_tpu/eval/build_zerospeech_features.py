@@ -99,11 +99,15 @@ def main(argv=None) -> int:
     parser.add_argument("--strict", action="store_true")
     parser.add_argument("--getEncoded", action="store_true")
     parser.add_argument("--seqNorm", action="store_true")
-    parser.add_argument("--batch_lanes", type=int, default=8,
-                        help="extract N files at once (lane-packed batches); "
-                             "1 restores per-file extraction. Ignored with "
+    parser.add_argument("--batch_lanes", type=int, default=None,
+                        help="extract N files at once (lane-packed batches; "
+                             "3.1x faster device-bound at 8 lanes); 1 "
+                             "restores per-file extraction. Ignored with "
                              "--strict/--seqNorm (strict chunking is "
-                             "per-file) and with --addCriterion.")
+                             "per-file) and with --addCriterion. Default: "
+                             "8, except 1 on the axon remote-tunnel "
+                             "backend (multi-MB transfers are slow there, "
+                             "docs/PERFORMANCE.md round 4).")
     parser.add_argument("--compute_dtype", type=str, default=None,
                         choices=["float32", "bfloat16"],
                         help="override the checkpoint's activation compute "
@@ -133,10 +137,14 @@ def main(argv=None) -> int:
             args.pathCheckpoint)
         feature_maker = ModelPhoneCombined(feature_maker, criterion,
                                            crit_vars, args.oneHot)
+    batch_lanes = args.batch_lanes
+    if batch_lanes is None:
+        import jax
+        batch_lanes = 1 if jax.default_backend() == "axon" else 8
     build_all_feature(feature_maker, args.pathDB, args.pathOut, out_data,
                       step_size=step_size, strict=args.strict,
                       max_size_seq=args.maxSizeSeq, fmt=args.format,
-                      seq_norm=args.seqNorm, batch_lanes=args.batch_lanes)
+                      seq_norm=args.seqNorm, batch_lanes=batch_lanes)
     return 0
 
 

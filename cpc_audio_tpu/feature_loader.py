@@ -394,9 +394,12 @@ def build_features_batched(feature_maker: "FeatureModule",
                    for i, p in enumerate(seq_paths[:2 * n_lanes])]
         next_submit = len(pending)
 
-        # per-lane state: (file index, decoded waveform, sample cursor,
-        # accumulated per-chunk frame arrays) or None when drained
+        # per-lane dispatch state: [file index, waveform, sample cursor]
+        # or None; completed per-chunk frames accumulate in `acc` keyed by
+        # file index (bookkeeping happens at READBACK time — the dispatch
+        # loop runs one step ahead, see below)
         lanes: List[Any] = [None] * n_lanes
+        acc: dict = {}
 
         def refill(lane):
             nonlocal next_submit
@@ -408,15 +411,18 @@ def build_features_batched(feature_maker: "FeatureModule",
                                 pool.submit(decode_file,
                                             seq_paths[next_submit])))
                 next_submit += 1
-            lanes[lane] = [idx, np.asarray(fut.result(), np.float32),
-                           0, []]
+            lanes[lane] = [idx, np.asarray(fut.result(), np.float32), 0]
+            acc[idx] = []
             return True
 
-        n_done = 0
-        while n_done < n_total:
+        def dispatch():
+            """Build + dispatch the next chunk batch; returns
+            (device_feats, meta) or None when no work is left to send.
+            meta rows: (lane, file_idx, valid_frames, is_last_chunk)."""
+            nonlocal hidden
             batch = np.zeros((n_lanes, 1, max_size_seq), np.float32)
             keep = np.ones((n_lanes,), np.float32)
-            valid = [0] * n_lanes
+            meta = []
             for lane in range(n_lanes):
                 if lanes[lane] is None and refill(lane):
                     keep[lane] = 0.0
@@ -428,31 +434,42 @@ def build_features_batched(feature_maker: "FeatureModule",
                     keep[lane] = 0.0  # first chunk of a file
                 chunk = st[1][st[2]:st[2] + max_size_seq]
                 batch[lane, 0, :len(chunk)] = chunk
-                valid[lane] = len(chunk) // ds
+                last = st[2] + max_size_seq >= len(st[1])
+                meta.append((lane, st[0], len(chunk) // ds, last))
+                st[2] += max_size_seq
+                if last:
+                    lanes[lane] = None  # lane is free for the next dispatch
+            if not meta:
+                return None
             if not carry_hidden:
                 keep[:] = 0.0
-
             feats, hidden = fwd(variables, jnp.asarray(batch), hidden,
                                 jnp.asarray(keep))
-            feats = np.asarray(feats)  # ONE readback per batch of chunks
+            return feats, meta  # device array: NOT read back yet
 
-            for lane in range(n_lanes):
-                st = lanes[lane]
-                if st is None:
-                    continue
-                f = feats[lane:lane + 1, :valid[lane]]
+        def drain(feats, meta):
+            feats = np.asarray(feats)  # ONE readback per batch of chunks
+            for lane, idx, valid, last in meta:
+                f = feats[lane:lane + 1, :valid]
                 if seq_norm:
                     mean = f.mean(axis=1, keepdims=True)
                     var = f.var(axis=1, keepdims=True, ddof=1)
                     f = (f - mean) / np.sqrt(var + 1e-8)
-                st[3].append(f)
-                st[2] += max_size_seq
-                if st[2] >= len(st[1]):
-                    out = (np.concatenate(st[3], axis=1) if st[3] else
-                           np.zeros((1, 0, feats.shape[-1]), np.float32))
-                    yield st[0], out
-                    n_done += 1
-                    lanes[lane] = None
+                acc[idx].append(f)
+                if last:
+                    parts = acc.pop(idx)
+                    yield idx, (np.concatenate(parts, axis=1) if parts else
+                                np.zeros((1, 0, feats.shape[-1]),
+                                         np.float32))
+
+        # 1-deep pipeline: dispatch batch t+1 (async) BEFORE reading back
+        # batch t, so device compute overlaps the host readback + decode.
+        inflight = dispatch()
+        while inflight is not None:
+            nxt = dispatch()
+            for item in drain(*inflight):
+                yield item
+            inflight = nxt
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
 

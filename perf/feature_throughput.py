@@ -33,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from perf.sustained_epoch import DB, build_db  # noqa: E402
 
 
-def device_rate(model, variables, batch_size, max_size_seq, k1=4, k2=12):
+def device_rate(model, variables, batch_size, max_size_seq,
+                k1=200, k2=600):
     """Device-bound inference rate (frames/s) at a given batch size:
     slope between two chained run lengths (bench.py methodology — one
     dispatch per run, forced readback, slope cancels RPC/transfer).
