@@ -110,3 +110,29 @@ def test_batched_hidden_isolation_between_lane_neighbours():
     solo = _batched_features(fm, paths[:1], n_lanes=1)[0]
     packed = _batched_features(fm, paths, n_lanes=2)[0]
     np.testing.assert_allclose(packed, solo, rtol=1e-5, atol=1e-5)
+
+
+def test_batched_short_and_tiny_files(tmp_path):
+    # files shorter than one chunk, and shorter than one frame (0 frames),
+    # mixed with multi-chunk files — per-file equivalence must hold.
+    import wave
+
+    rng = np.random.RandomState(3)
+    lens = [100, 4000, 19999, 20480, 50000]  # samples; CHUNK=20480
+    paths = []
+    for i, n in enumerate(lens):
+        p = str(tmp_path / f"f{i}.wav")
+        pcm = (np.clip(rng.randn(n), -1, 1) * 20000).astype("<i2")
+        with wave.open(p, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        paths.append(p)
+    fm = _make_feature_module("LSTM")
+    expected = _reference_features(fm, paths)
+    got = _batched_features(fm, paths, n_lanes=2)
+    assert expected[0].shape[1] == 0  # 100 samples -> 0 frames
+    for e, g in zip(expected, got):
+        assert e.shape == g.shape
+        np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-5)
