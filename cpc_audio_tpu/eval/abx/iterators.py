@@ -117,36 +117,82 @@ class ABXFeatureLoader:
         files_data, self.context_match, self.phone_match, \
             self.speaker_match = load_item_file(path_item_file)
         self.step_feature = step_feature
-        self._load(files_data, seq_list, feature_maker, normalize)
+        file_order = [fid for fid, _ in seq_list if fid in files_data]
+        features_iter = ((fid, feature_maker(path))
+                         for fid, path in seq_list if fid in files_data)
+        self._load(files_data, file_order, features_iter, normalize)
 
-    def _load(self, files_data, seq_list, feature_maker, normalize):
+    @classmethod
+    def from_features_iter(cls, path_item_file: str,
+                           file_order: Sequence[str], features_iter,
+                           step_feature: float,
+                           normalize: bool) -> "ABXFeatureLoader":
+        """Build from a stream of ``(file_id, features)`` pairs arriving in
+        ANY order (e.g. feature_loader.build_features_batched's
+        completion order) while producing the SAME segment layout the
+        sequential constructor would in ``file_order`` — so scores stay
+        bit-identical to the per-file path.  Each file's item segments
+        are sliced out the moment its features arrive and the full
+        feature matrix is dropped: peak memory scales with total segment
+        frames, not corpus size."""
+        self = cls.__new__(cls)
+        files_data, self.context_match, self.phone_match, \
+            self.speaker_match = load_item_file(path_item_file)
+        self.step_feature = step_feature
+        order = [fid for fid in file_order if fid in files_data]
+        self._load(files_data,
+                   order,
+                   ((fid, f) for fid, f in features_iter
+                    if fid in files_data),
+                   normalize)
+        return self
+
+    def _cut_segments(self, features, items, normalize):
+        """Slice one file's item segments out of its feature matrix.
+        Returns ([(loc_size, context_id, phone_id, speaker_id), ...],
+        [segment arrays])."""
+        features = np.asarray(features)
+        if features.ndim == 3:
+            features = features.reshape(features.shape[1],
+                                        features.shape[2])
+        elif features.ndim == 1:
+            features = features[:, None]
+        if normalize:
+            features = normalize_with_singularity(features)
+        n_frames = features.shape[0]
+        rows, arrays = [], []
+        for start, end, context_id, phone_id, speaker_id in items:
+            index_start = max(
+                0, int(math.ceil(self.step_feature * start - 0.5)))
+            index_end = min(
+                n_frames, int(math.floor(self.step_feature * end - 0.5)))
+            if index_start >= n_frames or index_end <= index_start:
+                continue
+            rows.append((index_end - index_start, context_id, phone_id,
+                         speaker_id))
+            # copy so the parent matrix can be freed between files
+            arrays.append(np.array(features[index_start:index_end]))
+        return rows, arrays
+
+    def _load(self, files_data, file_order, features_iter, normalize):
+        # Consume the stream (any order), keeping only item segments …
+        segments = {}
+        for file_id, features in features_iter:
+            segments[file_id] = self._cut_segments(
+                features, files_data[file_id], normalize)
+        # … then assemble in file_order, matching the sequential layout.
         self.features: List[list] = []
         data = []
         tot_size = 0
-        for file_id, file_path in seq_list:
-            if file_id not in files_data:
+        for file_id in file_order:
+            if file_id not in segments:
                 continue
-            features = np.asarray(feature_maker(file_path))
-            if features.ndim == 3:
-                features = features.reshape(features.shape[1],
-                                            features.shape[2])
-            elif features.ndim == 1:
-                features = features[:, None]
-            if normalize:
-                features = normalize_with_singularity(features)
-            n_frames = features.shape[0]
-            for start, end, context_id, phone_id, speaker_id \
-                    in files_data[file_id]:
-                index_start = max(
-                    0, int(math.ceil(self.step_feature * start - 0.5)))
-                index_end = min(
-                    n_frames, int(math.floor(self.step_feature * end - 0.5)))
-                if index_start >= n_frames or index_end <= index_start:
-                    continue
-                loc_size = index_end - index_start
+            rows, arrays = segments.pop(file_id)
+            for (loc_size, context_id, phone_id, speaker_id), arr \
+                    in zip(rows, arrays):
                 self.features.append([tot_size, loc_size, context_id,
                                       phone_id, speaker_id])
-                data.append(features[index_start:index_end])
+                data.append(arr)
                 tot_size += loc_size
         self.data = np.concatenate(data, axis=0) if data \
             else np.zeros((0, 1), np.float32)

@@ -46,13 +46,24 @@ def abx(feature_function, path_item_file: str,
         seq_list: Sequence[Tuple[str, str]], distance_mode: str,
         step_feature: float, modes: Sequence[str], seq_norm: bool = True,
         max_x_across: int = 5, max_size_group: int = 30,
-        seed: int = 0, on_device: bool = False) -> Dict[str, float]:
+        seed: int = 0, on_device: bool = False,
+        features_iter=None, file_order=None) -> Dict[str, float]:
     """Compute within/across ABX error rates (ABX.py:20-97).
 
     on_device=True computes the DTW costs with the wavefront scan on the
-    default JAX device (ops/dtw_jax.py) instead of the native host kernel."""
-    dataset = abx_it.ABXFeatureLoader(path_item_file, seq_list,
-                                      feature_function, step_feature, True)
+    default JAX device (ops/dtw_jax.py) instead of the native host kernel.
+
+    features_iter/file_order: stream pre-extracted (file_id, features)
+    pairs (any arrival order; segments assembled in file_order) instead
+    of calling feature_function per file — the batched-extraction path;
+    memory holds only item segments, never whole-file matrices."""
+    if features_iter is not None:
+        dataset = abx_it.ABXFeatureLoader.from_features_iter(
+            path_item_file, file_order, features_iter, step_feature, True)
+    else:
+        dataset = abx_it.ABXFeatureLoader(path_item_file, seq_list,
+                                          feature_function, step_feature,
+                                          True)
     distance_function = abx_g.get_distance_function_from_name(distance_mode)
     scores: Dict[str, float] = {}
 
@@ -183,29 +194,33 @@ def main(argv=None) -> int:
     if args.debug:
         seq_list = seq_list[:1000]
 
+    features_iter = file_order = None
     if args.load == "from_checkpoint" and batch_lanes > 1:
         # Lane-packed batched extraction (one dispatch per batch of
         # chunks instead of per B=1 chunk); only files the item file
         # references are extracted, matching ABXFeatureLoader's filter.
+        # The generator streams into the loader, which keeps only item
+        # segments — whole-file feature matrices are never cached.
         files_data, _, _, _ = abx_it.load_item_file(args.path_item_file)
         wanted = [(fid, p) for fid, p in seq_list if fid in files_data]
         print(f"Batched feature extraction: {len(wanted)} files, "
               f"{batch_lanes} lanes")
         from ..feature_loader import build_features_batched
-        cache = {}
-        for i, feats in build_features_batched(
-                feature_maker, [p for _, p in wanted],
-                n_lanes=batch_lanes, max_size_seq=args.max_size_seq,
-                seq_norm=args.seq_norm):
-            cache[wanted[i][1]] = feats
-        feature_function = cache.__getitem__
+        file_order = [fid for fid, _ in wanted]
+        features_iter = ((wanted[i][0], feats)
+                         for i, feats in build_features_batched(
+                             feature_maker, [p for _, p in wanted],
+                             n_lanes=batch_lanes,
+                             max_size_seq=args.max_size_seq,
+                             seq_norm=args.seq_norm))
 
     scores = abx(feature_function, args.path_item_file, seq_list, "cosine",
                  step_feature, modes, seq_norm=getattr(args, "seq_norm",
                                                        False),
                  max_x_across=args.max_x_across,
                  max_size_group=args.max_size_group, seed=args.seed,
-                 on_device=args.on_device)
+                 on_device=args.on_device,
+                 features_iter=features_iter, file_order=file_order)
 
     if args.load == "from_checkpoint":
         default_out = os.path.dirname(args.path_checkpoint)

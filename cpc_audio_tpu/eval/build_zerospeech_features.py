@@ -97,6 +97,18 @@ def main(argv=None) -> int:
     parser.add_argument("--format", default="fea", type=str,
                         choices=["npz", "fea", "npy", "af"])
     parser.add_argument("--strict", action="store_true")
+    # Accepted for reference-CLI parity but NO-OPS: the reference parses
+    # these three and never reads them anywhere
+    # (build_zeroSpeech_features.py:93-96 — dead flags there too).
+    parser.add_argument("--dimReduction", type=str, default=None,
+                        help="accepted for flag parity; unused (dead in "
+                             "the reference too)")
+    parser.add_argument("--centroidLimits", type=int, nargs=2, default=None,
+                        help="accepted for flag parity; unused (dead in "
+                             "the reference too)")
+    parser.add_argument("--clusters", type=str, default=None,
+                        help="accepted for flag parity; unused (dead in "
+                             "the reference too)")
     parser.add_argument("--getEncoded", action="store_true")
     parser.add_argument("--seqNorm", action="store_true")
     parser.add_argument("--batch_lanes", type=int, default=None,
@@ -115,6 +127,11 @@ def main(argv=None) -> int:
                              "outputs stay f32). Default: the checkpoint's "
                              "own setting.")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+    for dead in ("dimReduction", "centroidLimits", "clusters"):
+        if getattr(args, dead) is not None:
+            print(f"WARNING: --{dead} is accepted for reference-CLI parity "
+                  f"but has no effect (the flag is dead in the reference "
+                  f"too)")
 
     os.makedirs(args.pathOut, exist_ok=True)
     with open(os.path.join(os.path.dirname(args.pathOut.rstrip(os.sep)),

@@ -59,7 +59,13 @@ def parse_args(argv):
     p.add_argument("--hiddenGar", type=int, default=64)
     p.add_argument("--nPredicts", type=int, default=4)
     p.add_argument("--negativeSamplingExt", type=int, default=16)
-    p.add_argument("--sizeWindow", type=int, default=3200)
+    # 5120 (32-frame windows, M = batch 8 x 32 = 256, a power of two) so
+    # the default `auto` sampling mode resolves to the SHIPPED fused
+    # stratified objective — the gate exercises what users run.  2560 is
+    # a dead end (probe cannot discriminate at 16-frame windows) and at
+    # 3200 auto falls back to exact (M=160 not pow-2); both
+    # docs/PERFORMANCE.md round 4.
+    p.add_argument("--sizeWindow", type=int, default=5120)
     p.add_argument("--rnnMode", default="linear")
     p.add_argument("--arMode", default="GRU")
     p.add_argument("--batchSizeGPU", type=int, default=8)
@@ -72,13 +78,13 @@ def parse_args(argv):
     p.add_argument("--negativeSamplingMode", default="auto",
                    choices=["auto", "exact", "stratified", "rolled"],
                    help="objective variant to gate; matches the shipped "
-                        "config default 'auto' (stratified needs a "
-                        "power-of-two batch*frames: use --sizeWindow 5120 "
-                        "with --batchSizeGPU 8 — the validated config where "
-                        "both objectives pass; 2560's 16-frame windows are "
-                        "too short for the probe to discriminate AT ALL, "
-                        "docs/PERFORMANCE.md round 4. At this gate's "
-                        "default shapes auto resolves to exact)")
+                        "config default 'auto', which at the gate's "
+                        "default shapes (sizeWindow 5120, batch 8 -> "
+                        "M=256 pow-2) resolves to the fused STRATIFIED "
+                        "objective — the shipped default path. Pass "
+                        "'exact' for the reference-parity objective "
+                        "(both arms pass at these shapes, "
+                        "docs/PERFORMANCE.md round 4)")
     p.add_argument("--cpc_extra", nargs="*", default=[],
                    help="extra flags forwarded to the CPC trainer "
                         "(e.g. --cpc_extra --stopGradNegatives)")

@@ -16,7 +16,7 @@ Functional differences by design:
 from __future__ import annotations
 
 import os
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +59,8 @@ def _load_single(path: str) -> Tuple[CPCConfig, dict, Any, Any]:
 
 
 def load_model(path_checkpoints: Sequence[str], load_state_dict: bool = True,
-               compute_dtype: str = None) -> Tuple[Any, dict, int, int]:
+               compute_dtype: Optional[str] = None
+               ) -> Tuple[Any, dict, int, int]:
     """Rebuild model(s) from checkpoints (feature_loader.py:156-190).
 
     Returns (model_module, variables, hidden_gar, hidden_encoder).
@@ -200,8 +201,12 @@ def load_state_into(state, path: str, config: CPCConfig,
 
 def seq_normalization(out: jax.Array) -> jax.Array:
     """Per-sequence time normalization (feature_loader.py:221-225);
-    torch unbiased variance."""
+    torch unbiased variance.  A 1-frame sequence has no unbiased
+    variance (the reference emits NaN there); this returns zeros
+    instead — (x - mean) is exactly 0 for a single frame."""
     mean = jnp.mean(out, axis=1, keepdims=True)
+    if out.shape[1] <= 1:
+        return out - mean
     var = jnp.var(out, axis=1, keepdims=True, ddof=1)
     return (out - mean) / jnp.sqrt(var + 1e-8)
 
@@ -453,8 +458,11 @@ def build_features_batched(feature_maker: "FeatureModule",
                 f = feats[lane:lane + 1, :valid]
                 if seq_norm:
                     mean = f.mean(axis=1, keepdims=True)
-                    var = f.var(axis=1, keepdims=True, ddof=1)
-                    f = (f - mean) / np.sqrt(var + 1e-8)
+                    if valid <= 1:  # no unbiased variance of one frame
+                        f = f - mean
+                    else:
+                        var = f.var(axis=1, keepdims=True, ddof=1)
+                        f = (f - mean) / np.sqrt(var + 1e-8)
                 acc[idx].append(f)
                 if last:
                     parts = acc.pop(idx)

@@ -209,3 +209,43 @@ def test_abx_on_device_matches_host_dtw(tmp_path):
     assert host.keys() == dev.keys() and host
     for k in host:
         assert abs(host[k] - dev[k]) < 1e-5, (k, host[k], dev[k])
+
+
+@needs_ref
+def test_feature_loader_streaming_matches_sequential():
+    """ABXFeatureLoader.from_features_iter (any arrival order, segments
+    only — the batched-extraction memory fix) must reproduce the
+    sequential constructor's layout and scores bit-for-bit."""
+    from cpc_audio_tpu.eval.abx_cli import abx
+
+    seq_list = [("2107", os.path.join(REF_TD, "2107.npy")),
+                ("42", os.path.join(REF_TD, "42.npy")),
+                ("23", os.path.join(REF_TD, "23.npy")),
+                ("407", os.path.join(REF_TD, "407.npy"))]
+    item = os.path.join(REF_TD, "dummy_item_file.item")
+
+    def feature_function(path):
+        return np.load(path).reshape(1, -1, 1)
+
+    seq = ABXFeatureLoader(item, seq_list, feature_function, 10, True)
+
+    # completion order != seq_list order, as build_features_batched yields
+    shuffled = [seq_list[2], seq_list[0], seq_list[3], seq_list[1]]
+    stream = ABXFeatureLoader.from_features_iter(
+        item, [fid for fid, _ in seq_list],
+        ((fid, feature_function(p)) for fid, p in shuffled), 10, True)
+
+    assert stream.features == seq.features
+    np.testing.assert_array_equal(stream.data, seq.data)
+
+    # score equivalence on the item file that has a valid within group
+    seq_list_w = seq_list[:2]
+    kwargs = dict(path_item_file=os.path.join(REF_TD,
+                                              "dummy_item_within.item"),
+                  seq_list=seq_list_w, distance_mode="cosine",
+                  step_feature=10, modes=["within"])
+    base = abx(feature_function, **kwargs)
+    streamed = abx(None, features_iter=(
+        (fid, feature_function(p)) for fid, p in reversed(seq_list_w)),
+        file_order=[fid for fid, _ in seq_list_w], **kwargs)
+    assert base == streamed and base

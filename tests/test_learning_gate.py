@@ -5,11 +5,14 @@ reference eval/linear_separability.py:99) by a margin.
 
 Guards the full stack — data pipeline, model, custom-VJP backward,
 optimizer — against silent learning regressions no unit test can catch.
+The gate's default shapes (sizeWindow 5120, batch 8 -> M=256 pow-2)
+make the default `auto` sampling mode resolve to the SHIPPED fused
+stratified objective, so this test gates the production path.
 Calibrated on CPU (gate default seed 1 — seed 0 sits on the fixture
 db's documented plateau attractor, docs/PERFORMANCE.md round 3/4):
-30 CPC epochs / 30 probe epochs gives trained ~0.127 vs random ~0.027
-(delta ~0.10); the asserted margin of 0.02 leaves ~5x slack.  Runs in
-~2 min unloaded.
+30 CPC epochs / 30 probe epochs gives trained ~0.20 vs random ~0.005
+(delta ~0.195); the asserted margin of 0.02 leaves ~10x slack.  Runs in
+~3 min unloaded.
 
 Same command manually (stronger, or on TPU):
     python -m cpc_audio_tpu.eval.learning_gate --nEpochCPC 40
