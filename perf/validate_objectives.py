@@ -33,9 +33,14 @@ REF_DATA = "/root/reference/cpc/test_data"
 PROBE_TRAIN = ["4051-11218-0044"]
 PROBE_VAL = ["2911-12359-0007"]
 
+# Every variant pins its sampling mode EXPLICITLY: since the config
+# default became 'auto' (round 4), an unflagged run resolves to
+# stratified at this harness's pow-2 shapes — an "exact" baseline
+# relying on the default silently trains the very variant under test
+# (caught in round 5: both arms came back bit-identical).
 VARIANTS = {
-    "exact": [],
-    "stopgrad": ["--stopGradNegatives"],
+    "exact": ["--negativeSamplingMode", "exact"],
+    "stopgrad": ["--negativeSamplingMode", "exact", "--stopGradNegatives"],
     "rolled": ["--negativeSamplingMode", "rolled"],
     "stratified": ["--negativeSamplingMode", "stratified"],
 }
