@@ -128,16 +128,15 @@ def parse_args(argv):
     p.add_argument("--strict", action="store_true")
     p.add_argument("--file_extension", type=str, default=".wav")
     p.add_argument("--get_encoded", action="store_true")
-    p.add_argument("--batch_lanes", type=int, default=None,
+    p.add_argument("--batch_lanes", type=int, default=8,
                    help="extract features for N files at once (lane-packed "
                         "batches, one dispatch per chunk batch — "
                         "feature_loader.build_features_batched; measured "
-                        "3.1x faster device-bound at 8 lanes). 1 restores "
-                        "the reference's per-file extraction. Ignored with "
-                        "--strict (per-file only). Default: 8, except 1 on "
-                        "the axon remote-tunnel backend, whose transport "
-                        "slows on multi-MB payloads (docs/PERFORMANCE.md "
-                        "round 4).")
+                        "3.1x faster device-bound and 2.2x wall-clock even "
+                        "through the axon remote tunnel, "
+                        "docs/PERFORMANCE.md round 5). 1 restores the "
+                        "reference's per-file extraction. Ignored with "
+                        "--strict (per-file only).")
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"],
                    help="override the checkpoint's activation compute dtype "
@@ -171,11 +170,7 @@ def main(argv=None) -> int:
                                  max_size_seq=args.max_size_seq,
                                  seq_norm=args.seq_norm)
         path_dataset = args.path_dataset
-        batch_lanes = args.batch_lanes
-        if batch_lanes is None:
-            import jax
-            batch_lanes = 1 if jax.default_backend() == "axon" else 8
-        batch_lanes = 1 if args.strict else max(1, batch_lanes)
+        batch_lanes = 1 if args.strict else max(1, args.batch_lanes)
     elif args.load == "from_pre_computed":
         def feature_function(x):
             return np.load(x)

@@ -111,15 +111,14 @@ def main(argv=None) -> int:
                              "the reference too)")
     parser.add_argument("--getEncoded", action="store_true")
     parser.add_argument("--seqNorm", action="store_true")
-    parser.add_argument("--batch_lanes", type=int, default=None,
+    parser.add_argument("--batch_lanes", type=int, default=8,
                         help="extract N files at once (lane-packed batches; "
-                             "3.1x faster device-bound at 8 lanes); 1 "
-                             "restores per-file extraction. Ignored with "
+                             "3.1x faster device-bound and 2.2x wall-clock "
+                             "through the axon tunnel at 8 lanes, "
+                             "docs/PERFORMANCE.md round 5); 1 restores "
+                             "per-file extraction. Ignored with "
                              "--strict/--seqNorm (strict chunking is "
-                             "per-file) and with --addCriterion. Default: "
-                             "8, except 1 on the axon remote-tunnel "
-                             "backend (multi-MB transfers are slow there, "
-                             "docs/PERFORMANCE.md round 4).")
+                             "per-file) and with --addCriterion.")
     parser.add_argument("--compute_dtype", type=str, default=None,
                         choices=["float32", "bfloat16"],
                         help="override the checkpoint's activation compute "
@@ -154,14 +153,10 @@ def main(argv=None) -> int:
             args.pathCheckpoint)
         feature_maker = ModelPhoneCombined(feature_maker, criterion,
                                            crit_vars, args.oneHot)
-    batch_lanes = args.batch_lanes
-    if batch_lanes is None:
-        import jax
-        batch_lanes = 1 if jax.default_backend() == "axon" else 8
     build_all_feature(feature_maker, args.pathDB, args.pathOut, out_data,
                       step_size=step_size, strict=args.strict,
                       max_size_seq=args.maxSizeSeq, fmt=args.format,
-                      seq_norm=args.seqNorm, batch_lanes=batch_lanes)
+                      seq_norm=args.seqNorm, batch_lanes=args.batch_lanes)
     return 0
 
 

@@ -379,16 +379,31 @@ def build_features_batched(feature_maker: "FeatureModule",
     carry_hidden = feature_maker.keep_hidden
     ds = feature_maker.get_downsampling_factor()
 
-    def fwd(variables, batch, hidden, keep):
-        # keep: (n_lanes,) 0/1 — zero a lane's carried hidden at file
-        # starts (and every chunk when the module does not keep hidden).
-        hidden = jax.tree_util.tree_map(
-            lambda h: h * keep[:, None].astype(h.dtype), hidden)
-        c, z, _, h = model.apply(variables, batch, None, hidden,
-                                 train=False)
-        return (z if get_encoded else c).astype(jnp.float32), h
+    # Cache the jitted forward ON the feature module: a fresh jax.jit per
+    # generator call re-traces and re-requests compilation every
+    # invocation — through the axon remote tunnel that cost ~17 s per
+    # call and was the entire round-4 "batched is slower wall-clock"
+    # anomaly (docs/PERFORMANCE.md round 5 serving section).  The
+    # per-file path never had this problem (FeatureModule jits once in
+    # __init__).
+    fwd_cache = getattr(feature_maker, "_batched_fwd_cache", None)
+    if fwd_cache is None:
+        fwd_cache = {}
+        feature_maker._batched_fwd_cache = fwd_cache
+    fwd = fwd_cache.get(get_encoded)
+    if fwd is None:
+        def fwd(variables, batch, hidden, keep):
+            # keep: (n_lanes,) 0/1 — zero a lane's carried hidden at file
+            # starts (and every chunk when the module does not keep
+            # hidden).
+            hidden = jax.tree_util.tree_map(
+                lambda h: h * keep[:, None].astype(h.dtype), hidden)
+            c, z, _, h = model.apply(variables, batch, None, hidden,
+                                     train=False)
+            return (z if get_encoded else c).astype(jnp.float32), h
 
-    fwd = jax.jit(fwd)
+        fwd = jax.jit(fwd)
+        fwd_cache[get_encoded] = fwd
     hidden = (model.zero_state(n_lanes)
               if hasattr(model, "zero_state") else None)
 

@@ -1,11 +1,14 @@
 """Probe the axon tunnel's host<->device transfer behavior vs payload size.
 
 Context: the batched feature extractor moves the SAME total bytes as the
-per-file path but in 8x larger payloads; through the tunnel it measured
-SLOWER wall-clock despite a 3.1x faster device-bound rate
-(perf/feature_throughput.py).  This probe measures device_put and
-device->host readback wall times across payload sizes to attribute that
-gap to the transport.  Production PCIe moves these payloads in <1 ms.
+per-file path but in 8x larger payloads; through the tunnel it at first
+measured SLOWER wall-clock despite a 3.1x faster device-bound rate.
+This probe showed the transport actually FAVORS batching (fixed ~40 ms
+latency, throughput roughly size-independent) — which is what exposed
+the real culprit as a per-call re-jit in the generator, since fixed in
+feature_loader (resolution: docs/PERFORMANCE.md round 5 serving
+section; batched now wins 2.2x wall-clock through the tunnel too).
+Production PCIe moves these payloads in <1 ms.
 
 Usage: python perf/probe_tunnel.py
 Prints one JSON line: per-size median seconds + effective MB/s.
