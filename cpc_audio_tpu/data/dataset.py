@@ -399,7 +399,14 @@ class AudioBatchData:
     def get_data_loader(self, batch_size: int, sampling_type: str,
                         random_offset: bool, num_workers: int = 0,
                         on_loop: int = -1) -> "AudioLoader":
-        """Epoch loader over all packs (dataset.py:227-258)."""
+        """Epoch loader over all packs (dataset.py:227-258).
+
+        ``len(loader)`` is the non-overlapping-window ESTIMATE
+        ``tot_size // (size_window * batch_size)``; the actual batch
+        count is only known as per-pack plans are built and exceeds the
+        estimate under samespeaker/samesequence sampling (ragged tail
+        batches are completed by re-sampling, one per interval per
+        pack — see same_speaker_batch_plan)."""
         n_loops = len(self.package_index)
         tot = self.tot_size // (self.size_window * batch_size)
         if on_loop >= 0:

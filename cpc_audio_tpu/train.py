@@ -188,9 +188,12 @@ def run(train_dataset: AudioBatchData, val_dataset: AudioBatchData,
             batch_size, config.samplingType, True)
         val_loader = val_dataset.get_data_loader(
             batch_size, "sequential", False)
-        print("Training dataset %d batches, Validation dataset %d batches,"
-              " batch size %d" % (len(train_loader), len(val_loader),
-                                  batch_size))
+        # len(loader) is a lower-bound estimate under samespeaker
+        # sampling (ragged tail batches are completed per interval);
+        # the throughput meter reports the actual step count.
+        print("Training dataset ~%d batches, Validation dataset ~%d"
+              " batches, batch size %d" % (len(train_loader),
+                                           len(val_loader), batch_size))
         hidden = jax.tree_util.tree_map(lambda x: x * 0, hidden_example) \
             if hidden_example is not None else None
         meter = ThroughputMeter(n_devices)

@@ -42,13 +42,20 @@ SR = 16000
 
 def make_tree(root: str, n_files: int, n_speakers: int,
               min_s: float = 8.0, max_s: float = 14.0, seed: int = 0,
-              quiet: bool = False) -> None:
+              quiet: bool = False, tone: bool = False) -> None:
     """Synthetic <root>/<speaker>/<file>.wav tree (16-bit PCM mono 16 kHz).
 
     Each file's samples are speaker_id/100 DC plus low-amplitude noise, so
     any window gathered from the flat buffer identifies its true speaker:
     round(100 * mean(window)) == speaker id.
-    """
+
+    tone=True additionally mixes in a speaker-specific sinusoid
+    (150 + 55*spk Hz, random phase per file).  The DC code is stripped by
+    the encoder's ChannelNorm (a per-channel mean over time), so the DC
+    tree is useless for LEARNING experiments; the tone survives
+    normalization and makes the tree usable as a second dataset point
+    for objective comparisons (speaker linear-separability probe,
+    perf/validate_soak_speaker.py)."""
     if os.path.exists(os.path.join(root, ".soak_done")):
         return
     rng = np.random.RandomState(seed)
@@ -60,6 +67,12 @@ def make_tree(root: str, n_files: int, n_speakers: int,
         n = int(SR * rng.uniform(min_s, max_s))
         dc = spk / 100.0
         x = dc + 0.003 * rng.randn(n)
+        if tone:
+            t = np.arange(n) / SR
+            f = 150.0 + 55.0 * spk
+            x = x + 0.05 * np.sin(2 * np.pi * f * t
+                                  + rng.uniform(0, 2 * np.pi)) \
+                + 0.05 * rng.randn(n)
         pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
         with wave.open(os.path.join(d, f"f{i:05d}.wav"), "wb") as w:
             w.setnchannels(1)

@@ -44,6 +44,8 @@ def run_and_trace(outdir: str, which: str):
             negative_sampling_ext=config.negativeSamplingExt,
             rnn_mode=config.rnnMode,
             sampling_mode=os.environ.get("CPC_SAMPLING_MODE", "exact"),
+            negative_sampling_scope=os.environ.get("CPC_SAMPLING_SCOPE",
+                                                   "device"),
             size_input_seq=config.sizeWindow // 160)
         optimizer = make_optimizer()
         mesh = get_mesh(len(jax.devices()))
