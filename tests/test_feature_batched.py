@@ -112,6 +112,37 @@ def test_batched_hidden_isolation_between_lane_neighbours():
     np.testing.assert_allclose(packed, solo, rtol=1e-5, atol=1e-5)
 
 
+def test_seq_norm_one_frame_chunk_is_finite(tmp_path):
+    # A chunk producing exactly one output frame has no unbiased
+    # (ddof=1) variance; the reference emits NaN there.  Both our paths
+    # return centered zeros instead (DESIGN.md deviations) and agree.
+    import wave
+
+    rng = np.random.RandomState(7)
+    # 160 samples -> a 1-frame file; CHUNK+160 -> a 1-frame tail chunk.
+    paths = []
+    for i, n in enumerate([160, CHUNK + 160]):
+        p = str(tmp_path / f"f{i}.wav")
+        pcm = (np.clip(rng.randn(n), -1, 1) * 20000).astype("<i2")
+        with wave.open(p, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        paths.append(p)
+    fm = _make_feature_module("LSTM")
+    expected = _reference_features(fm, paths, seq_norm=True)
+    got = _batched_features(fm, paths, n_lanes=2, seq_norm=True)
+    assert expected[0].shape[1] == 1 and expected[1].shape[1] == 129
+    for e, g in zip(expected, got):
+        assert np.isfinite(e).all()
+        assert np.isfinite(g).all()
+        np.testing.assert_allclose(g, e, rtol=1e-4, atol=1e-5)
+    # single-frame chunks normalize to exact zeros (x - mean of itself)
+    assert np.abs(expected[0]).max() == 0.0
+    assert np.abs(expected[1][0, -1]).max() == 0.0
+
+
 def test_batched_short_and_tiny_files(tmp_path):
     # files shorter than one chunk, and shorter than one frame (0 frames),
     # mixed with multi-chunk files — per-file equivalence must hold.
