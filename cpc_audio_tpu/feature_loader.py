@@ -373,6 +373,7 @@ def build_features_batched(feature_maker: "FeatureModule",
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    async_readback = os.environ.get("CPC_SERVE_ASYNC_READBACK", "1") != "0"
     model = feature_maker.model
     variables = feature_maker.variables
     get_encoded = feature_maker.get_encoded
@@ -465,6 +466,13 @@ def build_features_batched(feature_maker: "FeatureModule",
                 keep[:] = 0.0
             feats, hidden = fwd(variables, jnp.asarray(batch), hidden,
                                 jnp.asarray(keep))
+            if async_readback:
+                # start the device->host transfer of THIS batch's output
+                # now, so it rides under the next batch's host-side pack
+                # + dispatch instead of serializing inside drain()'s
+                # np.asarray (CPC_SERVE_ASYNC_READBACK=0 disables;
+                # measured A/B in docs/PERFORMANCE.md round 5 serving)
+                feats.copy_to_host_async()
             return feats, meta  # device array: NOT read back yet
 
         def drain(feats, meta):
