@@ -309,6 +309,19 @@ def build_feature(feature_maker, seq_path: str, strict: bool = False,
     size_seq = len(seq)
     ds = feature_maker.get_downsampling_factor() \
         if hasattr(feature_maker, "get_downsampling_factor") else 160
+    # Chunk dispatches are independent of chunk readbacks (the recurrent
+    # hidden carry lives on-device in the feature maker), so defer every
+    # np.asarray to the end and start each chunk's device->host transfer
+    # at dispatch time: chunk t transfers while chunk t+1 computes
+    # (CPC_SERVE_ASYNC_READBACK=0 restores blocking per-chunk readbacks;
+    # measured A/B in docs/PERFORMANCE.md round 5 serving).
+    async_readback = os.environ.get("CPC_SERVE_ASYNC_READBACK", "1") != "0"
+
+    def stage(features):
+        if async_readback and hasattr(features, "copy_to_host_async"):
+            features.copy_to_host_async()
+        return features
+
     out = []
     start = 0
     while start < size_seq:
@@ -323,7 +336,7 @@ def build_feature(feature_maker, seq_path: str, strict: bool = False,
         features = features[:, :valid_frames]
         if seq_norm:
             features = seq_normalization(features)
-        out.append(np.asarray(features))
+        out.append(stage(features))
         start += max_size_seq
     if strict and start < size_seq:
         chunk = seq[-max_size_seq:] if size_seq >= max_size_seq \
@@ -332,8 +345,8 @@ def build_feature(feature_maker, seq_path: str, strict: bool = False,
         delta = (size_seq - start) // ds
         if seq_norm:
             features = seq_normalization(features)
-        out.append(np.asarray(features[:, features.shape[1] - delta:]))
-    return np.concatenate(out, axis=1)
+        out.append(stage(features[:, features.shape[1] - delta:]))
+    return np.concatenate([np.asarray(f) for f in out], axis=1)
 
 
 def build_features_batched(feature_maker: "FeatureModule",

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--lanes", type=int, default=8)
     p.add_argument("--max_size_seq", type=int, default=64000)
     p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--per_file", action="store_true",
+                   help="A/B build_feature's per-chunk readbacks instead "
+                        "of the batched generator's")
     args = p.parse_args()
 
     import jax
@@ -40,7 +43,7 @@ def main():
 
     from cpc_audio_tpu.config import CPCConfig
     from cpc_audio_tpu.data.dataset import find_all_seqs
-    from cpc_audio_tpu.feature_loader import (FeatureModule,
+    from cpc_audio_tpu.feature_loader import (FeatureModule, build_feature,
                                               build_features_batched)
     from cpc_audio_tpu.models import build_model
 
@@ -62,14 +65,23 @@ def main():
             n += f.shape[1]
         return time.perf_counter() - t0, n
 
-    run_batched()  # warm the compile outside timing
+    def run_per_file():
+        t0 = time.perf_counter()
+        n = 0
+        for path in paths:
+            n += build_feature(fm, path,
+                               max_size_seq=args.max_size_seq).shape[1]
+        return time.perf_counter() - t0, n
+
+    run = run_per_file if args.per_file else run_batched
+    run()  # warm the compile outside timing
 
     times = {"0": [], "1": []}
     frames = None
     for _ in range(args.reps):
         for arm in ("0", "1"):
             os.environ["CPC_SERVE_ASYNC_READBACK"] = arm
-            t, n = run_batched()
+            t, n = run()
             times[arm].append(t)
             assert frames is None or frames == n
             frames = n
@@ -77,7 +89,8 @@ def main():
 
     sync_t, async_t = min(times["0"]), min(times["1"])
     print(json.dumps({
-        "metric": "serve_async_readback_speedup",
+        "metric": "serve_async_readback_speedup"
+                  + ("_per_file" if args.per_file else ""),
         "value": round(sync_t / async_t, 3),
         "n_files": len(paths), "lanes": args.lanes, "frames_total": frames,
         "sync": {"best_sec": round(sync_t, 2),
