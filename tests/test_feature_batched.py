@@ -102,6 +102,22 @@ def test_batched_no_keep_hidden():
         np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-5)
 
 
+def test_async_readback_bit_identical(monkeypatch):
+    # CPC_SERVE_ASYNC_READBACK only changes WHEN the device->host copy
+    # starts (dispatch time vs drain time); outputs must be bit-identical
+    # on both paths, batched and per-file.
+    paths = _fixture_paths()[:4]
+    fm = _make_feature_module("LSTM")
+    monkeypatch.setenv("CPC_SERVE_ASYNC_READBACK", "0")
+    sync_b = _batched_features(fm, paths, n_lanes=2, seq_norm=True)
+    sync_p = _reference_features(fm, paths, seq_norm=True)
+    monkeypatch.setenv("CPC_SERVE_ASYNC_READBACK", "1")
+    async_b = _batched_features(fm, paths, n_lanes=2, seq_norm=True)
+    async_p = _reference_features(fm, paths, seq_norm=True)
+    for s, a in zip(sync_b + sync_p, async_b + async_p):
+        np.testing.assert_array_equal(s, a)
+
+
 def test_batched_hidden_isolation_between_lane_neighbours():
     # A file's features must not depend on which files share the batch:
     # extract one file alone vs packed after a different file set.
