@@ -110,38 +110,48 @@ def run(state, train_step, val_step, train_dataset, val_dataset, batch_size,
     key = jax.random.PRNGKey(seed)
     start_time = time.time()
 
+    import jax.numpy as jnp
+
+    def _epoch_means(dev_sums, it, suffix):
+        # one host readback per epoch (train.py's device-buffer metrics:
+        # a per-step np.asarray through the axon tunnel serializes step
+        # dispatches on the readback RTT)
+        if dev_sums is None:
+            return {f"locLoss_{suffix}": np.asarray([0.0]),
+                    f"locAcc_{suffix}": np.asarray([0.0])}
+        return {f"locLoss_{suffix}": np.asarray(
+                    [float(np.mean(np.asarray(dev_sums["losses"]))) / it]),
+                f"locAcc_{suffix}": np.asarray(
+                    [float(np.mean(np.asarray(dev_sums["acc"]))) / it])}
+
     for epoch in range(start_epoch, n_epochs):
         train_loader = train_dataset.get_data_loader(batch_size, "uniform",
                                                      True)
         val_loader = val_dataset.get_data_loader(batch_size, "sequential",
                                                  False)
-        logs_train = {"locLoss_train": 0.0, "locAcc_train": 0.0}
+        # one key per epoch: the probe step takes a key for signature
+        # parity but derives nothing from it per step, and a host-side
+        # split per step dispatches a standalone threefry program
+        key, sub = jax.random.split(key)
+        dev_sums = None
         it = 0
         for batch, labels in train_loader:
             b, l = shard_batch(mesh, batch, np.asarray(labels))
-            key, sub = jax.random.split(key)
             state, metrics = train_step(state, b, l, sub, lr)
-            logs_train["locLoss_train"] += float(
-                np.mean(np.asarray(metrics["losses"])))
-            logs_train["locAcc_train"] += float(
-                np.mean(np.asarray(metrics["acc"])))
+            dev_sums = metrics if dev_sums is None else \
+                jax.tree_util.tree_map(jnp.add, dev_sums, metrics)
             it += 1
-        logs_train = {k: np.asarray([v / max(it, 1)])
-                      for k, v in logs_train.items()}
+        logs_train = _epoch_means(dev_sums, max(it, 1), "train")
 
-        logs_val = {"locLoss_val": 0.0, "locAcc_val": 0.0}
+        dev_sums = None
         it = 0
         for batch, labels in val_loader:
             b, l = shard_batch(mesh, batch, np.asarray(labels))
-            key, sub = jax.random.split(key)
             _, metrics = val_step(state, b, l, sub, 0.0)
-            logs_val["locLoss_val"] += float(
-                np.mean(np.asarray(metrics["losses"])))
-            logs_val["locAcc_val"] += float(
-                np.mean(np.asarray(metrics["acc"])))
+            dev_sums = metrics if dev_sums is None else \
+                jax.tree_util.tree_map(jnp.add, dev_sums, metrics)
             it += 1
-        logs_val = {k: np.asarray([v / max(it, 1)])
-                    for k, v in logs_val.items()}
+        logs_val = _epoch_means(dev_sums, max(it, 1), "val")
 
         print("")
         print("_" * 50)

@@ -17,12 +17,14 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_LOAD_LOCK = threading.Lock()
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _ROOT = os.path.dirname(os.path.dirname(_PKG_DIR))
@@ -48,11 +50,32 @@ def _build() -> bool:
 
 
 def _load() -> Optional[ctypes.CDLL]:
+    # Lock-free fast path checks ONLY _LIB (assigned last, fully
+    # constructed); everything else funnels through the lock.  The lock
+    # matters: the first native use in a process is often a *thread
+    # pool* (AudioBatchData's length scan maps file_length across
+    # workers) — before it, `_TRIED = True` was set at load START, so a
+    # second thread arriving mid-load saw `_TRIED and _LIB is None`,
+    # took the python-WAV fallback, and crashed on FLAC corpora (flaky,
+    # observed live on the probe CLI).
+    if _LIB is not None:
+        return _LIB
+    with _LOAD_LOCK:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
-    _TRIED = True
+    try:
+        _LIB = _load_attempt()
+    finally:
+        _TRIED = True  # only after the attempt: don't retry failed builds
+    return _LIB
 
+
+def _load_attempt() -> Optional[ctypes.CDLL]:
     def newest():
         """Most recently built candidate wins (a stale installed copy must
         not shadow a fresh `make -C native` build)."""
@@ -103,8 +126,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),
     ]
 
-    _LIB = lib
-    return _LIB
+    return lib
 
 
 def available() -> bool:

@@ -183,3 +183,29 @@ def test_mp3_decode_through_audio_io():
         n = file_length(path)
     assert data.ndim == 1 and data.dtype == np.float32
     assert n == len(data)
+
+
+def test_native_load_is_thread_safe(monkeypatch):
+    """available() must never report False while a load is in progress.
+
+    The first native use in a process is often a thread pool
+    (AudioBatchData's length scan); before the load lock, a thread
+    arriving mid-load saw `_TRIED and _LIB is None`, silently took the
+    python WAV fallback, and crashed on FLAC corpora."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cpc_audio_tpu.ops import native as nat
+
+    monkeypatch.setattr(nat, "_LIB", None)
+    monkeypatch.setattr(nat, "_TRIED", False)
+    orig_attempt = nat._load_attempt
+
+    def slow_attempt():
+        time.sleep(0.25)  # widen the race window
+        return orig_attempt()
+
+    monkeypatch.setattr(nat, "_load_attempt", slow_attempt)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(lambda _: nat.available(), range(16)))
+    assert all(results), results
