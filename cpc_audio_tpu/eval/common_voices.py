@@ -179,7 +179,11 @@ def _make_steps(model, model_variables, criterion, crit_params, optimizer,
 
     @jax.jit
     def train_step(params, opt_state, batch, size_seq, phone, size_phone,
-                   key, lr):
+                   key, step, lr):
+        # per-step dropout stream derives from (epoch key, step) IN-JIT: a
+        # host-side jax.random.split per step dispatches a standalone
+        # scalar-threefry program to the device (~0.7 ms each, CLAUDE.md)
+        key = jax.random.fold_in(key, step)
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, size_seq,
                                                   phone, size_phone, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -213,27 +217,44 @@ def _per_one(args):
 
 def per_step(dataset, predict_step, params, batch_size: int,
              downsampling: int, blank_label: int) -> Tuple[float, float]:
-    """Beam-search PER over a dataset (common_voices_eval.py:280-327)."""
+    """Beam-search PER over a dataset (common_voices_eval.py:280-327).
+
+    One persistent spawn pool for the whole dataset (per-batch pools paid
+    a full interpreter + JAX re-import per worker per batch), and a
+    1-deep pipeline: batch N+1's posterior dispatch + async device->host
+    transfer ride under batch N's host-side beam search."""
     import multiprocessing
     from concurrent.futures import ProcessPoolExecutor
     avg, var, n = 0.0, 0.0, 0
-    for seq, size_seq, phone, size_phone in dataset.batches(
-            batch_size, shuffle=False, pad_batch=False):
-        posts = np.asarray(predict_step(params, seq, size_seq))
-        jobs = []
-        for b in range(len(size_seq)):
-            valid = int(min(size_seq[b] // downsampling // 4,
-                            posts.shape[1]))
-            gt = phone[b, :size_phone[b]].tolist()
-            jobs.append((posts[b], valid, gt, blank_label))
-        # spawn, not fork: forking after JAX init can deadlock
-        ctx = multiprocessing.get_context("spawn")
-        with ProcessPoolExecutor(max_workers=min(8, len(jobs)),
-                                 mp_context=ctx) as ex:
+    # spawn, not fork: forking after JAX init can deadlock
+    ctx = multiprocessing.get_context("spawn")
+    with ProcessPoolExecutor(max_workers=min(8, max(batch_size, 1)),
+                             mp_context=ctx) as ex:
+
+        def drain(posts_dev, size_seq, phone, size_phone):
+            nonlocal avg, var, n
+            posts = np.asarray(posts_dev)  # transfer started at dispatch
+            jobs = []
+            for b in range(len(size_seq)):
+                valid = int(min(size_seq[b] // downsampling // 4,
+                                posts.shape[1]))
+                gt = phone[b, :size_phone[b]].tolist()
+                jobs.append((posts[b], valid, gt, blank_label))
             values = list(ex.map(_per_one, jobs))
-        avg += float(np.sum(values))
-        var += float(np.sum(np.square(values)))
-        n += len(values)
+            avg += float(np.sum(values))
+            var += float(np.sum(np.square(values)))
+            n += len(values)
+
+        pending = None
+        for seq, size_seq, phone, size_phone in dataset.batches(
+                batch_size, shuffle=False, pad_batch=False):
+            posts_dev = predict_step(params, seq, size_seq)
+            posts_dev.copy_to_host_async()
+            if pending is not None:
+                drain(*pending)
+            pending = (posts_dev, size_seq, phone, size_phone)
+        if pending is not None:
+            drain(*pending)
     avg /= n
     var = var / n - avg ** 2
     print(f"Average PER {avg}")
@@ -249,18 +270,25 @@ def run_training(train_dataset, val_dataset, train_step, val_step, params,
     rng = random.Random(seed)
     key = jax.random.PRNGKey(seed)
     for epoch in range(n_epochs):
-        tot, n = 0.0, 0
+        # losses accumulate in a DEVICE buffer (one tiny async add per
+        # step) and are read back once per epoch: a per-step float(loss)
+        # through the axon tunnel serializes step N's completion with
+        # step N+1's dispatch (same pattern as train.train_epoch)
+        key, epoch_key = jax.random.split(key)  # ONE host split per epoch
+        tot, n = None, 0
         for seq, ss, ph, sp in train_dataset.batches(batch_size, True, rng):
-            key, sub = jax.random.split(key)
             params, opt_state, loss = train_step(params, opt_state, seq, ss,
-                                                 ph, sp, sub, lr)
-            tot += float(loss)
+                                                 ph, sp, epoch_key, n, lr)
+            tot = loss if tot is None else tot + loss
             n += 1
+        tot = float(tot) if tot is not None else 0.0
         print(f"Epoch {epoch} loss train : {tot / max(n, 1)}")
-        tot, n = 0.0, 0
+        tot, n = None, 0
         for seq, ss, ph, sp in val_dataset.batches(batch_size, False):
-            tot += float(val_step(params, seq, ss, ph, sp))
+            loss = val_step(params, seq, ss, ph, sp)
+            tot = loss if tot is None else tot + loss
             n += 1
+        tot = float(tot) if tot is not None else 0.0
         loss_val = tot / max(n, 1)
         print(f"Epoch {epoch} loss val : {loss_val}")
         if loss_val < best_loss:
